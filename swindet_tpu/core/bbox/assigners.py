@@ -1,0 +1,160 @@
+"""Box-to-GT assignment as fixed-size masked ops.
+
+TPU-native re-design of the reference assigners (reference:
+mmdet/core/bbox/assigners/max_iou_assigner.py:10, assign:60,
+assign_wrt_overlaps:127). Instead of filtering to dynamic subsets, every
+anchor keeps its slot: GT boxes arrive padded to a static ``G`` with a
+``gt_valid`` mask and invalid rows/columns are masked to -1 overlap, which
+reproduces the reference's subset semantics exactly.
+
+Conventions for ``AssignResult``:
+    gt_inds: (N,) int32 — -1 ignore, 0 negative, g+1 assigned to gt g
+    max_overlaps: (N,) float
+    labels: (N,) int32 — class label for positives, -1 elsewhere
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple, Union
+
+import jax.numpy as jnp
+
+from ...models.builder import BBOX_ASSIGNERS
+from .iou import bbox_overlaps
+
+
+class AssignResult(NamedTuple):
+    gt_inds: jnp.ndarray
+    max_overlaps: jnp.ndarray
+    labels: jnp.ndarray
+
+
+@BBOX_ASSIGNERS.register_module()
+class MaxIoUAssigner:
+    """4-step max-IoU assignment incl. ``match_low_quality`` gt-nearest
+    override and ignore-region suppression, vectorised over padded GT.
+
+    The reference loops gts in order for low-quality matching so later gts
+    override earlier ones (max_iou_assigner.py:127, gt_max_assign_all);
+    here the *last* eligible gt per anchor is selected, matching that.
+    """
+
+    def __init__(self,
+                 pos_iou_thr: float,
+                 neg_iou_thr: Union[float, Tuple[float, float]],
+                 min_pos_iou: float = 0.,
+                 gt_max_assign_all: bool = True,
+                 ignore_iof_thr: float = -1,
+                 ignore_wrt_candidates: bool = True,
+                 match_low_quality: bool = True,
+                 gpu_assign_thr: int = -1,
+                 iou_calculator: Optional[dict] = None):
+        self.pos_iou_thr = pos_iou_thr
+        self.neg_iou_thr = neg_iou_thr
+        self.min_pos_iou = min_pos_iou
+        self.gt_max_assign_all = gt_max_assign_all
+        self.ignore_iof_thr = ignore_iof_thr
+        self.ignore_wrt_candidates = ignore_wrt_candidates
+        self.match_low_quality = match_low_quality
+
+    def assign(self,
+               bboxes: jnp.ndarray,
+               gt_bboxes: jnp.ndarray,
+               gt_valid: jnp.ndarray,
+               gt_labels: Optional[jnp.ndarray] = None,
+               bbox_valid: Optional[jnp.ndarray] = None,
+               gt_bboxes_ignore: Optional[jnp.ndarray] = None,
+               gt_ignore_valid: Optional[jnp.ndarray] = None) -> AssignResult:
+        """Assign each of N bboxes to one of G (padded) gt boxes.
+
+        Args:
+            bboxes: (N, 4)
+            gt_bboxes: (G, 4) padded
+            gt_valid: (G,) bool
+            gt_labels: (G,) int or None
+            bbox_valid: (N,) bool — anchors outside allowed border; invalid
+                anchors keep gt_inds == -1 (their overlaps are masked).
+        """
+        n = bboxes.shape[0]
+        overlaps = bbox_overlaps(bboxes, gt_bboxes)          # (N, G)
+        overlaps = jnp.where(gt_valid[None, :], overlaps, -1.0)
+        if bbox_valid is not None:
+            overlaps = jnp.where(bbox_valid[:, None], overlaps, -1.0)
+
+        # Ignore-region suppression (reference :107-117): anchors heavily
+        # overlapping an ignore region get all overlaps set to -1.
+        if (self.ignore_iof_thr > 0 and gt_bboxes_ignore is not None
+                and gt_bboxes_ignore.shape[0] > 0):
+            if self.ignore_wrt_candidates:
+                iof = bbox_overlaps(bboxes, gt_bboxes_ignore, mode='iof')
+            else:
+                iof = bbox_overlaps(gt_bboxes_ignore, bboxes, mode='iof').T
+            if gt_ignore_valid is not None:
+                iof = jnp.where(gt_ignore_valid[None, :], iof, -1.0)
+            ignored = jnp.max(iof, axis=1, initial=-1.0) > self.ignore_iof_thr
+            overlaps = jnp.where(ignored[:, None], -1.0, overlaps)
+
+        max_overlaps = jnp.max(overlaps, axis=1, initial=-1.0)   # (N,)
+        argmax_gt = jnp.argmax(overlaps, axis=1)                 # (N,)
+
+        gt_inds = jnp.full((n,), -1, jnp.int32)
+        # step 2: negatives
+        if isinstance(self.neg_iou_thr, (tuple, list)):
+            lo, hi = self.neg_iou_thr
+            neg = (max_overlaps >= lo) & (max_overlaps < hi)
+        else:
+            neg = (max_overlaps >= 0) & (max_overlaps < self.neg_iou_thr)
+        gt_inds = jnp.where(neg, 0, gt_inds)
+        # step 3: positives
+        pos = max_overlaps >= self.pos_iou_thr
+        gt_inds = jnp.where(pos, argmax_gt.astype(jnp.int32) + 1, gt_inds)
+
+        # step 4: low-quality match — each gt claims its best anchor(s)
+        if self.match_low_quality:
+            gt_max = jnp.max(overlaps, axis=0, initial=-1.0)     # (G,)
+            eligible = ((overlaps == gt_max[None, :])
+                        & (gt_max[None, :] >= self.min_pos_iou)
+                        & (gt_max[None, :] > -1.0)
+                        & gt_valid[None, :])
+            if not self.gt_max_assign_all:
+                # only the single best anchor per gt (first occurrence)
+                best_anchor = jnp.argmax(overlaps, axis=0)
+                row_ids = jnp.arange(n)[:, None]
+                eligible = eligible & (row_ids == best_anchor[None, :])
+            g = gt_bboxes.shape[0]
+            # last eligible gt wins (reference's in-order overwrite)
+            rev = eligible[:, ::-1]
+            last_g = g - 1 - jnp.argmax(rev, axis=1)
+            has = jnp.any(eligible, axis=1)
+            gt_inds = jnp.where(has, last_g.astype(jnp.int32) + 1, gt_inds)
+
+        if bbox_valid is not None:
+            gt_inds = jnp.where(bbox_valid, gt_inds, -1)
+
+        if gt_labels is not None:
+            safe = jnp.clip(gt_inds - 1, 0, None)
+            labels = jnp.where(gt_inds > 0,
+                               jnp.take(gt_labels, safe, axis=0), -1)
+        else:
+            labels = jnp.full((n,), -1, jnp.int32)
+        return AssignResult(gt_inds=gt_inds, max_overlaps=max_overlaps,
+                            labels=labels.astype(jnp.int32))
+
+
+def add_gt_as_candidates(assign_result: AssignResult,
+                         gt_valid: jnp.ndarray,
+                         gt_labels: Optional[jnp.ndarray]) -> AssignResult:
+    """Prepend trivially-assigned GT entries to an assignment over proposals
+    (reference: base_sampler.py sample() + assign_result.add_gt_)."""
+    g = gt_valid.shape[0]
+    gt_self_inds = jnp.where(gt_valid, jnp.arange(1, g + 1, dtype=jnp.int32),
+                             -1)
+    gt_ovr = jnp.where(gt_valid, 1.0, -1.0)
+    if gt_labels is None:
+        gt_lab = jnp.full((g,), -1, jnp.int32)
+    else:
+        gt_lab = jnp.where(gt_valid, gt_labels.astype(jnp.int32), -1)
+    return AssignResult(
+        gt_inds=jnp.concatenate([gt_self_inds, assign_result.gt_inds]),
+        max_overlaps=jnp.concatenate(
+            [gt_ovr, assign_result.max_overlaps]),
+        labels=jnp.concatenate([gt_lab, assign_result.labels]))

@@ -1,0 +1,175 @@
+"""Positive/negative sampling as static-shape masked top-k.
+
+TPU-native re-design of the reference samplers (reference:
+mmdet/core/bbox/samplers/random_sampler.py:8, base_sampler.py,
+sampling_result.py). Dynamic ``nonzero`` + ``randperm`` become: every
+candidate gets a uniform random key; candidates are ranked inside their
+class (pos/neg) by key; selection = rank < expected count. The fixed-size
+output (num slots + validity) replaces the reference's SamplingResult.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...models.builder import BBOX_SAMPLERS
+from .assigners import AssignResult, add_gt_as_candidates
+
+
+class SamplingResult(NamedTuple):
+    """Fixed-size sample of ``num`` candidate slots.
+
+    inds: (num,) int32 — index into the candidate set (gt-prepended when
+        add_gt_as_proposals); arbitrary where ``valid`` is False.
+    valid: (num,) bool
+    is_pos: (num,) bool
+    bboxes: (num, 4) gathered candidate boxes
+    pos_gt_bboxes: (num, 4) matched gt box (zeros for neg/invalid)
+    pos_gt_labels: (num,) int32 class label for positives; -1 elsewhere
+    pos_gt_inds: (num,) int32 0-based gt index for positives; 0 elsewhere
+    num_pos / num_neg: scalar int32 counts
+    """
+    inds: jnp.ndarray
+    valid: jnp.ndarray
+    is_pos: jnp.ndarray
+    bboxes: jnp.ndarray
+    pos_gt_bboxes: jnp.ndarray
+    pos_gt_labels: jnp.ndarray
+    pos_gt_inds: jnp.ndarray
+    num_pos: jnp.ndarray
+    num_neg: jnp.ndarray
+
+
+def _ranked_select(mask: jnp.ndarray, keys: jnp.ndarray,
+                   expected: jnp.ndarray) -> jnp.ndarray:
+    """Select up to ``expected`` True entries of ``mask`` uniformly at
+    random (rank by random key; static shapes)."""
+    score = jnp.where(mask, keys, -jnp.inf)
+    order = jnp.argsort(-score)                 # candidates first
+    rank = jnp.argsort(order)                   # rank of each entry
+    return mask & (rank < expected)
+
+
+@BBOX_SAMPLERS.register_module()
+class RandomSampler:
+    """Uniform random pos/neg sampling (reference: random_sampler.py:8)."""
+
+    def __init__(self, num: int, pos_fraction: float,
+                 neg_pos_ub: int = -1, add_gt_as_proposals: bool = True,
+                 **kwargs):
+        self.num = num
+        self.pos_fraction = pos_fraction
+        self.neg_pos_ub = neg_pos_ub
+        self.add_gt_as_proposals = add_gt_as_proposals
+
+    def sample(self,
+               rng: jax.Array,
+               assign_result: AssignResult,
+               bboxes: jnp.ndarray,
+               gt_bboxes: jnp.ndarray,
+               gt_valid: jnp.ndarray,
+               gt_labels: Optional[jnp.ndarray] = None,
+               bbox_valid: Optional[jnp.ndarray] = None) -> SamplingResult:
+        """Sample ``self.num`` slots from candidates.
+
+        bboxes: (P, 4) proposals; when ``add_gt_as_proposals`` the candidate
+        set becomes concat(gt_bboxes, bboxes) with gt trivially positive
+        (reference: base_sampler.py:75-82).
+        """
+        if self.add_gt_as_proposals:
+            assign_result = add_gt_as_candidates(assign_result, gt_valid,
+                                                 gt_labels)
+            cand_boxes = jnp.concatenate([gt_bboxes[:, :4], bboxes[:, :4]], 0)
+        else:
+            cand_boxes = bboxes[:, :4]
+        n = cand_boxes.shape[0]
+        gt_inds = assign_result.gt_inds
+
+        pos_mask = gt_inds > 0
+        neg_mask = gt_inds == 0
+        if bbox_valid is not None:
+            pad = jnp.ones((n - bbox_valid.shape[0],), bool)
+            full_valid = jnp.concatenate([pad, bbox_valid]) \
+                if self.add_gt_as_proposals else bbox_valid
+            pos_mask &= full_valid
+            neg_mask &= full_valid
+
+        k_pos, k_neg, k_tie = jax.random.split(rng, 3)
+        keys_pos = jax.random.uniform(k_pos, (n,))
+        keys_neg = jax.random.uniform(k_neg, (n,))
+
+        num_expected_pos = int(self.num * self.pos_fraction)
+        sel_pos = _ranked_select(pos_mask, keys_pos, num_expected_pos)
+        num_pos = jnp.sum(sel_pos).astype(jnp.int32)
+
+        num_expected_neg = self.num - num_pos
+        if self.neg_pos_ub >= 0:
+            neg_ub = jnp.maximum(1, num_pos) * self.neg_pos_ub
+            num_expected_neg = jnp.minimum(num_expected_neg, neg_ub)
+        sel_neg = _ranked_select(neg_mask, keys_neg, num_expected_neg)
+        num_neg = jnp.sum(sel_neg).astype(jnp.int32)
+
+        # Pack selected entries into `num` fixed slots, positives first.
+        pack = jnp.where(sel_pos, 3.0, jnp.where(sel_neg, 2.0, 0.0))
+        pack = pack + jax.random.uniform(k_tie, (n,))  # stable-ish shuffle
+        _, inds = jax.lax.top_k(pack, self.num)
+        inds = inds.astype(jnp.int32)
+        slot_sel_pos = jnp.take(sel_pos, inds)
+        slot_sel_neg = jnp.take(sel_neg, inds)
+        valid = slot_sel_pos | slot_sel_neg
+
+        sampled_boxes = jnp.take(cand_boxes, inds, axis=0)
+        slot_gt = jnp.take(gt_inds, inds)                  # 1-based
+        pos_gt_inds = jnp.where(slot_sel_pos, jnp.clip(slot_gt - 1, 0), 0)
+        pos_gt_bboxes = jnp.take(gt_bboxes[:, :4], pos_gt_inds, axis=0)
+        pos_gt_bboxes = jnp.where(slot_sel_pos[:, None], pos_gt_bboxes, 0.0)
+        if gt_labels is not None:
+            lab = jnp.take(gt_labels.astype(jnp.int32), pos_gt_inds)
+            pos_gt_labels = jnp.where(slot_sel_pos, lab, -1)
+        else:
+            pos_gt_labels = jnp.full((self.num,), -1, jnp.int32)
+
+        return SamplingResult(
+            inds=inds, valid=valid, is_pos=slot_sel_pos,
+            bboxes=sampled_boxes, pos_gt_bboxes=pos_gt_bboxes,
+            pos_gt_labels=pos_gt_labels,
+            pos_gt_inds=pos_gt_inds.astype(jnp.int32),
+            num_pos=num_pos, num_neg=num_neg)
+
+
+@BBOX_SAMPLERS.register_module()
+class PseudoSampler:
+    """No-op sampler: all positives + all negatives kept in place
+    (reference: pseudo_sampler.py). Returns full-set masks rather than
+    packed slots — used by single-stage heads whose loss runs on the full
+    anchor set."""
+
+    def __init__(self, **kwargs):
+        pass
+
+    def sample(self, rng, assign_result: AssignResult, bboxes, gt_bboxes,
+               gt_valid, gt_labels=None, bbox_valid=None):
+        n = bboxes.shape[0]
+        pos_mask = assign_result.gt_inds > 0
+        neg_mask = assign_result.gt_inds == 0
+        if bbox_valid is not None:
+            pos_mask &= bbox_valid
+            neg_mask &= bbox_valid
+        inds = jnp.arange(n, dtype=jnp.int32)
+        pos_gt_inds = jnp.where(pos_mask,
+                                jnp.clip(assign_result.gt_inds - 1, 0), 0)
+        pos_gt_bboxes = jnp.take(gt_bboxes[:, :4], pos_gt_inds, axis=0)
+        pos_gt_bboxes = jnp.where(pos_mask[:, None], pos_gt_bboxes, 0.0)
+        if gt_labels is not None:
+            lab = jnp.take(gt_labels.astype(jnp.int32), pos_gt_inds)
+            labels = jnp.where(pos_mask, lab, -1)
+        else:
+            labels = jnp.full((n,), -1, jnp.int32)
+        return SamplingResult(
+            inds=inds, valid=pos_mask | neg_mask, is_pos=pos_mask,
+            bboxes=bboxes[:, :4], pos_gt_bboxes=pos_gt_bboxes,
+            pos_gt_labels=labels, pos_gt_inds=pos_gt_inds.astype(jnp.int32),
+            num_pos=jnp.sum(pos_mask).astype(jnp.int32),
+            num_neg=jnp.sum(neg_mask).astype(jnp.int32))

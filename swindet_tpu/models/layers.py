@@ -1,0 +1,190 @@
+"""Shared NN building blocks (TPU-native replacements for mmcv.cnn).
+
+ConvModule (conv+norm+act), norm builders incl. SyncBN-as-mesh-pmean,
+DropPath (stochastic depth), truncated-normal init. All modules run NHWC
+(TPU-native layout) with a `dtype` compute policy (bf16-friendly) and
+fp32 params/norms, mirroring the reference's force_fp32 boundaries.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = Any
+
+
+def trunc_normal_init(std: float = 0.02):
+    """timm-style truncated normal initializer (reference: swin uses
+    trunc_normal_(std=.02))."""
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype) * std
+    return init
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (reference: timm DropPath used by
+    swin_transformer.py blocks)."""
+    drop_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        if self.drop_prob == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.drop_prob
+        rng = self.make_rng('dropout')
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Mlp(nn.Module):
+    """fc1 → GELU → fc2 (reference: swin_transformer.py:20)."""
+    hidden_features: int
+    out_features: int
+    drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_features, dtype=self.dtype,
+                     kernel_init=trunc_normal_init(), name='fc1')(x)
+        x = nn.gelu(x, approximate=False)
+        if self.drop > 0:
+            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_features, dtype=self.dtype,
+                     kernel_init=trunc_normal_init(), name='fc2')(x)
+        if self.drop > 0:
+            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class SyncBatchNorm(nn.Module):
+    """BatchNorm whose statistics reduce over batch AND the data mesh axis
+    via lax.pmean — free under pjit/shard_map (SURVEY.md §2.9 SyncBN row).
+
+    Outside a mesh context (axis_name is None or not bound) it degrades to
+    plain BatchNorm.
+    """
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        return nn.BatchNorm(
+            use_running_average=use_running_average,
+            momentum=self.momentum, epsilon=self.epsilon,
+            axis_name=self.axis_name if not use_running_average else None,
+            dtype=jnp.float32, name='bn')(x)
+
+
+def build_norm(norm_cfg: Optional[dict], name: str = 'norm',
+               dtype: Dtype = jnp.float32):
+    """Norm factory from cfg dicts (reference: mmcv build_norm_layer).
+
+    Returns a callable module or None. Norms always compute in fp32.
+    """
+    if norm_cfg is None:
+        return None
+    t = norm_cfg['type']
+    if t in ('BN', 'BN2d', 'SyncBN'):
+        return _NormWrapper(kind='bn', name=name,
+                            momentum=1 - norm_cfg.get('momentum', 0.1),
+                            eps=norm_cfg.get('eps', 1e-5),
+                            requires_grad=norm_cfg.get('requires_grad', True))
+    if t == 'GN':
+        return _NormWrapper(kind='gn', name=name,
+                            num_groups=norm_cfg.get('num_groups', 32),
+                            eps=norm_cfg.get('eps', 1e-5))
+    if t == 'LN':
+        return _NormWrapper(kind='ln', name=name,
+                            eps=norm_cfg.get('eps', 1e-6))
+    raise KeyError(f'Unknown norm type {t}')
+
+
+class _NormWrapper(nn.Module):
+    kind: str = 'bn'
+    momentum: float = 0.9
+    eps: float = 1e-5
+    num_groups: int = 32
+    requires_grad: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.kind == 'bn':
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=self.momentum, epsilon=self.eps,
+                                dtype=jnp.float32)(x)
+        if self.kind == 'gn':
+            return nn.GroupNorm(num_groups=self.num_groups,
+                                epsilon=self.eps, dtype=jnp.float32)(x)
+        return nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32)(x)
+
+
+_ACTS = {
+    'ReLU': nn.relu,
+    'GELU': lambda x: nn.gelu(x, approximate=False),
+    'SiLU': nn.silu,
+    'Swish': nn.silu,
+    'LeakyReLU': lambda x: nn.leaky_relu(x, 0.01),
+    'Sigmoid': nn.sigmoid,
+    'Tanh': jnp.tanh,
+}
+
+
+class ConvModule(nn.Module):
+    """conv (+ optional norm) (+ optional act), NHWC
+    (reference: mmcv.cnn ConvModule — used by FPN, convfc heads, mask heads).
+    """
+    out_channels: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: int = 1
+    padding: Union[int, str] = 0
+    dilation: int = 1
+    groups: int = 1
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+    bias: Union[bool, str] = 'auto'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ks = self.kernel_size
+        if isinstance(ks, int):
+            ks = (ks, ks)
+        use_bias = (self.norm_cfg is None) if self.bias == 'auto' \
+            else bool(self.bias)
+        if isinstance(self.padding, str):
+            padding = self.padding
+        else:
+            padding = [(self.padding, self.padding)] * 2
+        x = nn.Conv(self.out_channels, ks, strides=self.stride,
+                    padding=padding,
+                    kernel_dilation=self.dilation,
+                    feature_group_count=self.groups,
+                    use_bias=use_bias, dtype=self.dtype, name='conv')(x)
+        if self.norm_cfg is not None:
+            x = build_norm(self.norm_cfg, name='norm')(x, train=train)
+            x = x.astype(self.dtype)
+        if self.act_cfg is not None:
+            x = _ACTS[self.act_cfg.get('type', 'ReLU')](x)
+        return x
+
+
+def resize_nearest(x: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
+    """Nearest-neighbour resize of NHWC to (H, W) — matches torch
+    F.interpolate(mode='nearest') index arithmetic (floor of src index)."""
+    b, h, w, c = x.shape
+    nh, nw = shape
+    rows = (jnp.arange(nh) * (h / nh)).astype(jnp.int32)
+    cols = (jnp.arange(nw) * (w / nw)).astype(jnp.int32)
+    return x[:, rows][:, :, cols]
+
+
+def max_pool_1x1_s2(x: jnp.ndarray) -> jnp.ndarray:
+    """F.max_pool2d(x, 1, stride=2) equivalent — plain subsample."""
+    return x[:, ::2, ::2, :]

@@ -1,0 +1,224 @@
+"""Detection losses — pure-JAX, weighted/masked, fp32 accumulation.
+
+TPU-native equivalents of the reference losses (reference:
+mmdet/models/losses/cross_entropy_loss.py, focal_loss.py:11 (the pure-py
+spec of the CUDA sigmoid_focal_loss), smooth_l1_loss.py, iou_loss.py).
+All take elementwise ``weight`` plus ``avg_factor`` and never rely on
+dynamic shapes: padded entries carry weight 0.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..builder import LOSSES
+from ...core.bbox.iou import bbox_overlaps
+
+
+def weight_reduce_loss(loss: jnp.ndarray,
+                       weight: Optional[jnp.ndarray] = None,
+                       reduction: str = 'mean',
+                       avg_factor: Optional[jnp.ndarray] = None):
+    """elementwise weight → reduce; with avg_factor, sum/avg_factor
+    (reference: mmdet/models/losses/utils.py)."""
+    if weight is not None:
+        loss = loss * weight
+    if reduction == 'none':
+        return loss
+    if reduction == 'sum':
+        return jnp.sum(loss)
+    if avg_factor is None:
+        return jnp.mean(loss)
+    return jnp.sum(loss) / jnp.maximum(avg_factor, 1e-12)
+
+
+def _expand_onehot(labels: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """labels in [0, C) → one-hot (N, C); label == C (background) or < 0
+    (ignore/pad) → all-zero row (reference: cross_entropy_loss.py
+    _expand_onehot_labels)."""
+    valid = (labels >= 0) & (labels < num_classes)
+    oh = jax.nn.one_hot(jnp.where(valid, labels, 0), num_classes)
+    return jnp.where(valid[..., None], oh, 0.0)
+
+
+@LOSSES.register_module()
+class CrossEntropyLoss:
+    """Softmax CE / sigmoid BCE / mask BCE (reference:
+    cross_entropy_loss.py). ``use_mask`` applies per-RoI BCE on the
+    predicted class's mask channel only."""
+
+    def __init__(self, use_sigmoid: bool = False, use_mask: bool = False,
+                 reduction: str = 'mean', class_weight=None,
+                 loss_weight: float = 1.0):
+        self.use_sigmoid = use_sigmoid
+        self.use_mask = use_mask
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, label, weight=None, avg_factor=None,
+                 reduction_override=None, **kwargs):
+        reduction = reduction_override or self.reduction
+        pred = pred.astype(jnp.float32)
+        if self.use_mask:
+            # pred: (N, H, W) logits already gathered for the target class;
+            # label: (N, H, W) binary targets
+            loss = _bce_with_logits(pred, label.astype(jnp.float32))
+            loss = jnp.mean(loss, axis=tuple(range(1, loss.ndim)))
+        elif self.use_sigmoid:
+            if pred.ndim > 1 and pred.shape[-1] >= 1 and label.ndim \
+                    == pred.ndim - 1:
+                target = _expand_onehot(label, pred.shape[-1])
+            else:
+                target = label.astype(jnp.float32)
+            loss = _bce_with_logits(pred, target)   # (N, C) elementwise
+            if weight is not None and weight.ndim < loss.ndim:
+                weight = weight[..., None]
+        else:
+            logp = jax.nn.log_softmax(pred, axis=-1)
+            safe = jnp.clip(label, 0, pred.shape[-1] - 1)
+            loss = -jnp.take_along_axis(logp, safe[..., None],
+                                        axis=-1)[..., 0]
+            loss = jnp.where(label >= 0, loss, 0.0)
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, reduction, avg_factor)
+
+
+def _bce_with_logits(logits, targets):
+    return jnp.maximum(logits, 0) - logits * targets + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+@LOSSES.register_module()
+class FocalLoss:
+    """Sigmoid focal loss (reference: focal_loss.py:11 py_sigmoid_focal_loss
+    — the pure-python spec of the CUDA kernel)."""
+
+    def __init__(self, use_sigmoid: bool = True, gamma: float = 2.0,
+                 alpha: float = 0.25, reduction: str = 'mean',
+                 loss_weight: float = 1.0):
+        assert use_sigmoid, 'only sigmoid focal loss supported'
+        self.gamma = gamma
+        self.alpha = alpha
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kwargs):
+        reduction = reduction_override or self.reduction
+        pred = pred.astype(jnp.float32)
+        num_classes = pred.shape[-1]
+        if target.ndim == pred.ndim - 1:
+            target = _expand_onehot(target, num_classes)
+        p = jax.nn.sigmoid(pred)
+        pt = (1 - p) * target + p * (1 - target)
+        focal_weight = (self.alpha * target + (1 - self.alpha) *
+                        (1 - target)) * pt ** self.gamma
+        loss = _bce_with_logits(pred, target) * focal_weight
+        if weight is not None and weight.ndim < loss.ndim:
+            weight = weight[..., None]
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class L1Loss:
+    def __init__(self, reduction: str = 'mean', loss_weight: float = 1.0):
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kwargs):
+        reduction = reduction_override or self.reduction
+        loss = jnp.abs(pred.astype(jnp.float32) -
+                       target.astype(jnp.float32))
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class SmoothL1Loss:
+    def __init__(self, beta: float = 1.0, reduction: str = 'mean',
+                 loss_weight: float = 1.0):
+        self.beta = beta
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kwargs):
+        reduction = reduction_override or self.reduction
+        diff = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
+        loss = jnp.where(diff < self.beta,
+                         0.5 * diff * diff / self.beta,
+                         diff - 0.5 * self.beta)
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class IoULoss:
+    """-log(iou) (mode 'log') or 1 - iou (mode 'linear')."""
+
+    def __init__(self, linear: bool = False, mode: str = 'log',
+                 eps: float = 1e-6, reduction: str = 'mean',
+                 loss_weight: float = 1.0):
+        self.mode = 'linear' if linear else mode
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kwargs):
+        reduction = reduction_override or self.reduction
+        ious = bbox_overlaps(pred.astype(jnp.float32),
+                             target.astype(jnp.float32),
+                             is_aligned=True).clip(self.eps)
+        if self.mode == 'linear':
+            loss = 1 - ious
+        elif self.mode == 'square':
+            loss = 1 - ious ** 2
+        else:
+            loss = -jnp.log(ious)
+        if weight is not None and weight.ndim == loss.ndim + 1:
+            weight = weight.mean(-1)
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class GIoULoss:
+    """1 - GIoU (reference: iou_loss.py GIoULoss; used by the cascade Swin
+    configs with loss_weight=10)."""
+
+    def __init__(self, eps: float = 1e-7, reduction: str = 'mean',
+                 loss_weight: float = 1.0):
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kwargs):
+        reduction = reduction_override or self.reduction
+        gious = bbox_overlaps(pred.astype(jnp.float32),
+                              target.astype(jnp.float32),
+                              mode='giou', is_aligned=True, eps=self.eps)
+        loss = 1 - gious
+        if weight is not None and weight.ndim == loss.ndim + 1:
+            weight = weight.mean(-1)
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, reduction, avg_factor)
+
+
+def accuracy(pred: jnp.ndarray, target: jnp.ndarray,
+             topk: int = 1, mask: Optional[jnp.ndarray] = None):
+    """Top-k classification accuracy over valid entries."""
+    if topk == 1:
+        correct = (jnp.argmax(pred, axis=-1) == target)
+    else:
+        _, idx = jax.lax.top_k(pred, topk)
+        correct = jnp.any(idx == target[..., None], axis=-1)
+    correct = correct.astype(jnp.float32)
+    if mask is not None:
+        return jnp.sum(correct * mask) / jnp.maximum(jnp.sum(mask), 1.0) * 100
+    return jnp.mean(correct) * 100

@@ -1,0 +1,9 @@
+from .registry import Registry, build_from_cfg
+from .config import Config, ConfigDict, DictAction
+from .logger import get_root_logger
+from .env import collect_env
+
+__all__ = [
+    'Registry', 'build_from_cfg', 'Config', 'ConfigDict', 'DictAction',
+    'get_root_logger', 'collect_env',
+]
