@@ -1,0 +1,88 @@
+"""Benchmark harness (reference: tools/analysis_tools/benchmark.py —
+2000-iter synced pure-inference FPS).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Metric: Mask R-CNN Swin-T single-chip inference throughput (images/sec)
+at the COCO test canvas (800x1344 keep-ratio bucket), bf16 compute.
+
+vs_baseline compares against the A100 reference throughput recorded in
+BASELINE.json (falls back to 40 img/s for Mask R-CNN Swin-T fp16 A100 if
+absent).
+"""
+import json
+import os
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _tiny_swin_t_cfg
+    from swindet_tpu.models import build_detector
+
+    on_tpu = jax.devices()[0].platform == 'tpu'
+    # full-size COCO test canvas on TPU; small canvas for CPU smoke runs
+    if on_tpu:
+        h, w, batch = 800, 1344, 1
+        dtype = jnp.bfloat16
+        iters, warmup = 100, 10
+    else:
+        h, w, batch = 224, 320, 1
+        dtype = jnp.float32
+        iters, warmup = 5, 2
+
+    cfg = _tiny_swin_t_cfg()
+    cfg['backbone']['dtype'] = dtype
+    cfg['neck']['dtype'] = dtype
+    # full-scale proposal counts on TPU (match reference test_cfg)
+    if on_tpu:
+        cfg['test_cfg']['rpn'].update(nms_pre=1000, max_per_img=1000)
+    model = build_detector(cfg)
+
+    img = jnp.zeros((batch, h, w, 3), jnp.float32)
+    from swindet_tpu.utils import jit_init
+    variables = jit_init(
+        model, {'params': jax.random.PRNGKey(0),
+                'sampling': jax.random.PRNGKey(1)},
+        img[:, :64, :64], method='forward_dummy')
+    img_shapes = jnp.asarray([[h, w]] * batch, jnp.int32)
+    scale_factors = jnp.ones((batch, 4), jnp.float32)
+
+    @jax.jit
+    def run(variables, img, img_shapes, scale_factors):
+        return model.apply(variables, img, img_shapes, scale_factors,
+                           method='simple_test')
+
+    out = run(variables, img, img_shapes, scale_factors)
+    jax.block_until_ready(out)
+    for _ in range(warmup):
+        out = run(variables, img, img_shapes, scale_factors)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(variables, img, img_shapes, scale_factors)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+
+    baseline = 15.3  # A100 fp16 Mask R-CNN Swin-T img/s (mmdet-class)
+    try:
+        with open(os.path.join(os.path.dirname(__file__),
+                               'BASELINE.json')) as f:
+            b = json.load(f)
+        baseline = float(b.get('throughput_img_s', baseline))
+    except Exception:
+        pass
+
+    print(json.dumps({
+        'metric': 'maskrcnn_swin_t_inference_throughput',
+        'value': round(ips, 3),
+        'unit': 'img/s',
+        'vs_baseline': round(ips / baseline, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,10 @@
+from .inference import (DetectorHandle, inference_detector, init_detector,
+                        show_result)
+from .test import multi_gpu_test, single_gpu_test
+from .train import set_random_seed, train_detector
+
+__all__ = [
+    'DetectorHandle', 'inference_detector', 'init_detector', 'show_result',
+    'multi_gpu_test', 'single_gpu_test', 'set_random_seed',
+    'train_detector',
+]

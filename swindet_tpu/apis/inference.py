@@ -1,0 +1,234 @@
+"""Python inference API (reference: mmdet/apis/inference.py:16,89 —
+init_detector / inference_detector / show_result_pyplot).
+
+TPU-native shape discipline: the test pipeline output is padded onto a
+fixed canvas per scale bucket, so every image of a given test scale hits
+ONE jit-compiled program; the only host steps are JPEG decode/resize and
+final mask pasting + formatting.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import build_detector
+from ..utils import Config
+from ..core.bbox.transforms import bbox2result
+from ..core.masks import paste_masks
+from ..datasets.pipelines.transforms import Compose, PIPELINES
+from ..utils.registry import build_from_cfg
+
+
+class DetectorHandle:
+    """Bundles module + params + cfg + jit cache (the functional stand-in
+    for the reference's nn.Module-with-weights)."""
+
+    def __init__(self, cfg: Config, module, variables, CLASSES=None):
+        self.cfg = cfg
+        self.module = module
+        self.variables = variables
+        self.CLASSES = CLASSES
+        self._jitted = {}
+
+    def jitted_simple_test(self):
+        if 'simple_test' not in self._jitted:
+            def run(variables, img, img_shapes, scale_factors):
+                return self.module.apply(variables, img, img_shapes,
+                                         scale_factors,
+                                         method='simple_test')
+            self._jitted['simple_test'] = jax.jit(run)
+        return self._jitted['simple_test']
+
+
+def init_detector(config: Union[str, Config],
+                  checkpoint: Optional[str] = None,
+                  device: Optional[str] = None,
+                  cfg_options: Optional[dict] = None,
+                  seed: int = 0) -> DetectorHandle:
+    """Build a detector from config (+ optional checkpoint)
+    (reference: apis/inference.py:16)."""
+    if isinstance(config, str):
+        config = Config.fromfile(config)
+    if cfg_options is not None:
+        config.merge_from_dict(cfg_options)
+    model_cfg = config.model.copy()
+    model_cfg.pop('pretrained', None)
+    module = build_detector(model_cfg.to_dict()
+                            if hasattr(model_cfg, 'to_dict')
+                            else dict(model_cfg))
+
+    # init params on a small dummy canvas
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    from ..utils import jit_init
+    variables = jit_init(module, {'params': jax.random.PRNGKey(seed)},
+                         dummy, method='forward_dummy')
+    classes = None
+    if checkpoint is not None:
+        from ..checkpoint import load_checkpoint
+        variables, meta = load_checkpoint(module, variables, checkpoint)
+        classes = meta.get('CLASSES')
+    if classes is None:
+        from ..core.eval.class_names import get_classes
+        classes = get_classes('coco')
+    return DetectorHandle(config, module, variables, CLASSES=classes)
+
+
+def _build_test_pipeline(cfg: Config) -> Tuple[Compose, dict]:
+    pipeline_cfg = [dict(p) for p in cfg.data.test.pipeline]
+    # skip the initial load step; we feed ndarray/np paths explicitly
+    assert pipeline_cfg[0]['type'] in ('LoadImageFromFile',
+                                       'LoadImageFromWebcam')
+    tta = None
+    steps = []
+    for p in pipeline_cfg[1:]:
+        if p['type'] == 'MultiScaleFlipAug':
+            tta = p
+        else:
+            steps.append(p)
+    if tta is not None:
+        return Compose([dict(t) for t in tta['transforms']]), tta
+    return Compose(steps), dict(img_scale=[None])
+
+
+def _canvas_for(scale: Tuple[int, int], divisor: int = 32) -> Tuple[int, int]:
+    """Static canvas covering any keep_ratio resize to ``scale``."""
+    long_e, short_e = max(scale), min(scale)
+    rup = lambda v: (v + divisor - 1) // divisor * divisor
+    return rup(short_e), rup(long_e)
+
+
+def preprocess_images(imgs: Sequence[Union[str, np.ndarray]],
+                      cfg: Config) -> Dict[str, Any]:
+    """Run the test pipeline and pad to the scale bucket's fixed canvas.
+    Returns device-ready batch + per-image meta."""
+    pipeline, tta_cfg = _build_test_pipeline(cfg)
+    scale = tta_cfg.get('img_scale')
+    scale = scale[0] if isinstance(scale, list) else scale
+
+    processed = []
+    for img in imgs:
+        if isinstance(img, str):
+            results = dict(img_info=dict(filename=img), img_prefix=None)
+            from ..datasets.pipelines.transforms import LoadImageFromFile
+            results = LoadImageFromFile()(results)
+        else:
+            results = dict(img=img, img_shape=img.shape,
+                           ori_shape=img.shape, img_fields=['img'])
+        if scale is not None:
+            results['scale'] = tuple(scale)
+        results['flip'] = False
+        results['flip_direction'] = 'horizontal'
+        processed.append(pipeline(results))
+
+    if scale is not None:
+        ch, cw = _canvas_for(scale)
+    else:
+        ch = max(r['img'].shape[0] for r in processed)
+        cw = max(r['img'].shape[1] for r in processed)
+        ch = (ch + 31) // 32 * 32
+        cw = (cw + 31) // 32 * 32
+    # orientation: canvas must cover both landscape & portrait resizes
+    if any(r['img'].shape[0] > ch or r['img'].shape[1] > cw
+           for r in processed):
+        ch = cw = max(ch, cw)
+
+    b = len(processed)
+    img_batch = np.zeros((b, ch, cw, 3), np.float32)
+    img_shapes = np.zeros((b, 2), np.int32)
+    scale_factors = np.ones((b, 4), np.float32)
+    metas = []
+    for i, r in enumerate(processed):
+        h, w = r['img'].shape[:2]
+        img_batch[i, :h, :w] = r['img']
+        img_shapes[i] = (h, w)
+        scale_factors[i] = r.get('scale_factor', np.ones(4, np.float32))
+        metas.append(dict(ori_shape=r['ori_shape'],
+                          img_shape=(h, w),
+                          scale_factor=scale_factors[i]))
+    return dict(img=jnp.asarray(img_batch),
+                img_shapes=jnp.asarray(img_shapes),
+                scale_factors=jnp.asarray(scale_factors),
+                metas=metas)
+
+
+def format_results(outputs: Dict[str, np.ndarray], metas: List[dict],
+                   num_classes: int, mask_thr: float = 0.5,
+                   with_mask: Optional[bool] = None):
+    """Padded device outputs → reference result format: per image
+    (list[num_classes] of (k, 5) arrays[, list[num_classes] of masks])."""
+    dets = np.asarray(outputs['dets'])
+    labels = np.asarray(outputs['labels'])
+    valid = np.asarray(outputs['det_valid'])
+    has_mask = 'mask_probs' in outputs if with_mask is None else with_mask
+    if has_mask:
+        mask_probs = np.asarray(outputs['mask_probs'])
+
+    results = []
+    for i, meta in enumerate(metas):
+        bbox_res = bbox2result(dets[i], labels[i], num_classes, valid[i])
+        if not has_mask:
+            results.append(bbox_res)
+            continue
+        oh, ow = meta['ori_shape'][:2]
+        v = valid[i]
+        pm = paste_masks(mask_probs[i][v], dets[i][v, :4], oh, ow,
+                         threshold=mask_thr)
+        mask_res = [[] for _ in range(num_classes)]
+        for m, lab in zip(pm, labels[i][v]):
+            mask_res[int(lab)].append(m)
+        results.append((bbox_res, mask_res))
+    return results
+
+
+def inference_detector(model: DetectorHandle,
+                       imgs: Union[str, np.ndarray, Sequence]):
+    """Run inference on image(s) (reference: apis/inference.py:89).
+    Accepts path(s) or BGR ndarray(s); returns reference-format results."""
+    single = isinstance(imgs, (str, np.ndarray))
+    if single:
+        imgs = [imgs]
+    batch = preprocess_images(imgs, model.cfg)
+    run = model.jitted_simple_test()
+    out = run(model.variables, batch['img'], batch['img_shapes'],
+              batch['scale_factors'])
+    out = jax.device_get(out)
+    num_classes = len(model.CLASSES)
+    mask_thr = dict(model.cfg.model.test_cfg.rcnn).get('mask_thr_binary',
+                                                       0.5) \
+        if 'rcnn' in model.cfg.model.test_cfg else 0.5
+    results = format_results(out, batch['metas'], num_classes, mask_thr)
+    return results[0] if single else results
+
+
+def show_result(img: Union[str, np.ndarray], result, classes,
+                score_thr: float = 0.3, out_file: Optional[str] = None):
+    """Draw boxes (+ masks) on the image (reference: base.py:270
+    show_result). Returns the BGR ndarray."""
+    import cv2
+    if isinstance(img, str):
+        img = cv2.imread(img)
+    img = img.copy()
+    bbox_res, mask_res = (result if isinstance(result, tuple)
+                          else (result, None))
+    rng = np.random.RandomState(42)
+    colors = rng.randint(0, 256, (len(classes), 3)).tolist()
+    for cls_id, dets in enumerate(bbox_res):
+        for j, det in enumerate(dets):
+            if det[4] < score_thr:
+                continue
+            x1, y1, x2, y2 = det[:4].astype(int)
+            color = tuple(int(c) for c in colors[cls_id])
+            cv2.rectangle(img, (x1, y1), (x2, y2), color, 2)
+            label = f'{classes[cls_id]} {det[4]:.2f}'
+            cv2.putText(img, label, (x1, max(y1 - 4, 0)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
+            if mask_res is not None and j < len(mask_res[cls_id]):
+                m = mask_res[cls_id][j]
+                img[m] = img[m] * 0.5 + np.array(color) * 0.5
+    if out_file:
+        cv2.imwrite(out_file, img)
+    return img

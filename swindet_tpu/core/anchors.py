@@ -12,7 +12,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.builder import ANCHOR_GENERATORS
+from ..registries import ANCHOR_GENERATORS
 
 
 @ANCHOR_GENERATORS.register_module()

@@ -18,7 +18,7 @@ from typing import NamedTuple, Optional, Tuple, Union
 
 import jax.numpy as jnp
 
-from ...models.builder import BBOX_ASSIGNERS
+from ...registries import BBOX_ASSIGNERS
 from .iou import bbox_overlaps
 
 

@@ -9,9 +9,11 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import math
+
 import jax.numpy as jnp
 
-from ...models.builder import BBOX_CODERS
+from ...registries import BBOX_CODERS
 
 
 def bbox2delta(proposals: jnp.ndarray, gt: jnp.ndarray,
@@ -59,7 +61,7 @@ def delta2bbox(rois: jnp.ndarray, deltas: jnp.ndarray,
     d = deltas.reshape(deltas.shape[:-1] + (k, 4)) * stds + means
     dx, dy, dw, dh = d[..., 0], d[..., 1], d[..., 2], d[..., 3]
 
-    max_ratio = abs(float(jnp.log(jnp.asarray(wh_ratio_clip))))
+    max_ratio = abs(math.log(wh_ratio_clip))
     dw = jnp.clip(dw, -max_ratio, max_ratio)
     dh = jnp.clip(dh, -max_ratio, max_ratio)
 

@@ -14,7 +14,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ...models.builder import BBOX_SAMPLERS
+from ...registries import BBOX_SAMPLERS
 from .assigners import AssignResult, add_gt_as_candidates
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 TILE = 128

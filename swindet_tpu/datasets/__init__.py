@@ -1,0 +1,15 @@
+from ..registries import DATASETS, PIPELINES
+from .builder import (DetDataLoader, GroupBatchSampler, build_dataloader,
+                      build_dataset, collate_detection)
+from .custom import CustomDataset
+from .coco import CocoDataset
+from .dataset_wrappers import (ClassBalancedDataset, ConcatDataset,
+                               RepeatDataset)
+from . import pipelines
+
+__all__ = [
+    'DATASETS', 'PIPELINES', 'DetDataLoader', 'GroupBatchSampler',
+    'build_dataloader', 'build_dataset', 'collate_detection',
+    'CustomDataset', 'CocoDataset', 'ClassBalancedDataset',
+    'ConcatDataset', 'RepeatDataset', 'pipelines',
+]

@@ -1,0 +1,258 @@
+"""Dataset + loader construction (reference: mmdet/datasets/builder.py:53,76;
+samplers/group_sampler.py:10,51).
+
+TPU-native loader design: host worker threads run the numpy pipeline; the
+batcher draws within one aspect-ratio group (like the reference's
+GroupSampler) and pads every batch onto ONE static canvas per group
+(landscape/portrait), so a whole mstrain run compiles exactly two train
+programs — no DataContainer/collate/scatter machinery, no retrace storms
+(SURVEY.md §7 hard part 3).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from functools import partial
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..registries import DATASETS
+from ..utils.registry import build_from_cfg
+
+
+def build_dataset(cfg, default_args=None):
+    from .dataset_wrappers import (ClassBalancedDataset, ConcatDataset,
+                                   RepeatDataset)
+    if isinstance(cfg, (list, tuple)):
+        return ConcatDataset([build_dataset(c, default_args) for c in cfg])
+    if cfg['type'] == 'RepeatDataset':
+        return RepeatDataset(build_dataset(cfg['dataset'], default_args),
+                             cfg['times'])
+    if cfg['type'] == 'ClassBalancedDataset':
+        return ClassBalancedDataset(
+            build_dataset(cfg['dataset'], default_args),
+            cfg['oversample_thr'])
+    if cfg['type'] == 'ConcatDataset':
+        from .dataset_wrappers import ConcatDataset as CD
+        return CD([build_dataset(c, default_args)
+                   for c in cfg['datasets']])
+    return build_from_cfg(cfg, DATASETS, default_args)
+
+
+# ------------------------------------------------------------------ sampling
+class GroupBatchSampler:
+    """Epoch-deterministic batches drawn within one aspect-ratio group
+    (reference: GroupSampler/DistributedGroupSampler — flag 0: w<h,
+    1: w>=h; dist sharding via (num_replicas, rank))."""
+
+    def __init__(self, flags: np.ndarray, batch_size: int,
+                 num_replicas: int = 1, rank: int = 0, seed: int = 0,
+                 shuffle: bool = True):
+        self.flags = np.asarray(flags)
+        self.batch_size = batch_size
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.seed = seed
+        self.shuffle = shuffle
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[List[int]]:
+        rng = np.random.RandomState(self.seed + self.epoch)
+        batches = []
+        for g in np.unique(self.flags):
+            idxs = np.where(self.flags == g)[0]
+            if self.shuffle:
+                idxs = idxs[rng.permutation(len(idxs))]
+            # round up to full batches by wrapping (reference pads with
+            # extra samples so every rank sees same #batches)
+            gb = self.batch_size * self.num_replicas
+            pad = (-len(idxs)) % gb
+            if pad and self.shuffle:
+                idxs = np.concatenate([idxs, idxs[:pad]])
+            elif pad:
+                idxs = idxs[:len(idxs) - len(idxs) % gb] \
+                    if len(idxs) >= gb else idxs
+            for i in range(0, len(idxs) - gb + 1, gb):
+                chunk = idxs[i:i + gb]
+                mine = chunk[self.rank * self.batch_size:
+                             (self.rank + 1) * self.batch_size]
+                batches.append(mine.tolist())
+        if self.shuffle:
+            order = rng.permutation(len(batches))
+            batches = [batches[i] for i in order]
+        return iter(batches)
+
+    def __len__(self):
+        n = 0
+        for g in np.unique(self.flags):
+            cnt = int((self.flags == g).sum())
+            gb = self.batch_size * self.num_replicas
+            n += (cnt + gb - 1) // gb if self.shuffle else cnt // gb
+        return n
+
+
+# ------------------------------------------------------------------ batching
+def _round_up(v: int, d: int) -> int:
+    return (v + d - 1) // d * d
+
+
+def collate_detection(samples: List[dict],
+                      canvas: Optional[Tuple[int, int]] = None,
+                      max_gts: int = 100,
+                      divisor: int = 32,
+                      with_mask: bool = True,
+                      mask_stride: int = 1) -> Dict[str, np.ndarray]:
+    """Pad pipeline outputs onto one static canvas → train batch dict
+    (img, img_shapes, pad_shapes, gt_bboxes, gt_valid, gt_labels
+    [, gt_masks]). Replaces DataContainer/collate (SURVEY.md §2.9)."""
+    b = len(samples)
+    if canvas is None:
+        ch = _round_up(max(s['img'].shape[0] for s in samples), divisor)
+        cw = _round_up(max(s['img'].shape[1] for s in samples), divisor)
+    else:
+        ch, cw = canvas
+    img = np.zeros((b, ch, cw, 3), np.float32)
+    img_shapes = np.zeros((b, 2), np.int32)
+    pad_shapes = np.zeros((b, 2), np.int32)
+    gt_bboxes = np.zeros((b, max_gts, 4), np.float32)
+    gt_valid = np.zeros((b, max_gts), bool)
+    gt_labels = np.zeros((b, max_gts), np.int32)
+    if with_mask:
+        mh, mw = ch // mask_stride, cw // mask_stride
+        gt_masks = np.zeros((b, max_gts, mh, mw), np.uint8)
+    metas = []
+    for i, s in enumerate(samples):
+        h, w = s['img'].shape[:2]
+        img[i, :h, :w] = s['img']
+        img_shapes[i] = s['img_metas'].get('img_shape', (h, w))[:2]
+        pad_shapes[i] = (h, w)
+        n = min(len(s.get('gt_bboxes', ())), max_gts)
+        if n:
+            gt_bboxes[i, :n] = s['gt_bboxes'][:n]
+            gt_valid[i, :n] = True
+            gt_labels[i, :n] = s['gt_labels'][:n]
+            if with_mask and 'gt_masks' in s:
+                m = s['gt_masks'][:n]
+                if mask_stride > 1:
+                    m = m[:, ::mask_stride, ::mask_stride]
+                gt_masks[i, :n, :m.shape[1], :m.shape[2]] = m
+        metas.append(s['img_metas'])
+    batch = dict(img=img, img_shapes=img_shapes, pad_shapes=pad_shapes,
+                 gt_bboxes=gt_bboxes, gt_valid=gt_valid,
+                 gt_labels=gt_labels)
+    if with_mask:
+        batch['gt_masks'] = gt_masks
+    batch['img_metas'] = metas
+    return batch
+
+
+class DetDataLoader:
+    """Threaded prefetching loader yielding static-shape numpy batches.
+
+    Group-aware: every batch comes from one aspect-ratio group and is
+    padded to that group's fixed canvas (landscape (max_short, max_long),
+    portrait transposed), keeping jit programs to 2.
+    """
+
+    def __init__(self, dataset, batch_size: int,
+                 canvas_long: int = 1344, canvas_short: int = 832,
+                 max_gts: int = 100, with_mask: bool = True,
+                 num_replicas: int = 1, rank: int = 0, seed: int = 0,
+                 shuffle: bool = True, num_workers: int = 4,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.canvas_long = canvas_long
+        self.canvas_short = canvas_short
+        self.max_gts = max_gts
+        self.with_mask = with_mask
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        flags = getattr(dataset, 'flag',
+                        np.zeros(len(dataset), np.uint8))
+        self.sampler = GroupBatchSampler(flags, batch_size, num_replicas,
+                                         rank, seed, shuffle)
+        self.flags = flags
+
+    def __len__(self):
+        return len(self.sampler)
+
+    def set_epoch(self, epoch: int):
+        self.sampler.set_epoch(epoch)
+
+    def _canvas_for(self, idx: int) -> Tuple[int, int]:
+        if self.flags[idx] == 1:  # landscape w>=h
+            return self.canvas_short, self.canvas_long
+        return self.canvas_long, self.canvas_short
+
+    def _load_batch(self, indices: List[int]) -> Dict[str, np.ndarray]:
+        samples = [self.dataset[i] for i in indices]
+        return collate_detection(samples,
+                                 canvas=self._canvas_for(indices[0]),
+                                 max_gts=self.max_gts,
+                                 with_mask=self.with_mask)
+
+    def __iter__(self):
+        batches = list(self.sampler)
+        q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
+        it = iter(batches)
+        lock = threading.Lock()
+        stop = threading.Event()
+        # order-preserving: a ticketing scheme
+        results: Dict[int, dict] = {}
+        cond = threading.Condition()
+        ticket = {'next_put': 0}
+
+        def worker():
+            while not stop.is_set():
+                with lock:
+                    try:
+                        my_ticket = ticket['next_put']
+                        idxs = batches[my_ticket]
+                        ticket['next_put'] += 1
+                    except IndexError:
+                        return
+                try:
+                    out = self._load_batch(idxs)
+                except Exception as e:  # surface in consumer
+                    out = e
+                with cond:
+                    results[my_ticket] = out
+                    cond.notify_all()
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        try:
+            for i in range(len(batches)):
+                with cond:
+                    while i not in results:
+                        cond.wait(timeout=60)
+                    out = results.pop(i)
+                if isinstance(out, Exception):
+                    raise out
+                yield out
+        finally:
+            stop.set()
+
+
+def build_dataloader(dataset, samples_per_gpu: int, workers_per_gpu: int,
+                     num_gpus: int = 1, dist: bool = False, seed: int = 0,
+                     shuffle: bool = True, **kwargs) -> DetDataLoader:
+    """mmdet-compatible surface (reference: datasets/builder.py:76).
+    On TPU the batch dim is global: samples_per_gpu × #devices is handled
+    by the caller sharding the batch over the mesh."""
+    import jax
+    num_replicas, rank = 1, 0
+    if dist:
+        num_replicas = jax.process_count()
+        rank = jax.process_index()
+    return DetDataLoader(
+        dataset, batch_size=samples_per_gpu * num_gpus,
+        num_replicas=num_replicas, rank=rank, seed=seed, shuffle=shuffle,
+        num_workers=workers_per_gpu, **kwargs)

@@ -1,0 +1,140 @@
+"""Optimizer construction from config (reference: mmcv build_optimizer +
+the Swin configs' ``paramwise_cfg.custom_keys`` decay/lr multipliers,
+configs/swin/mask_rcnn_swin_tiny_..._1x_coco.py:64-67).
+
+TPU-native design: one optax chain; per-parameter weight-decay and lr
+multipliers are pytrees precomputed from the param *paths* (the flax
+analog of the torch param names the reference matches substrings on).
+Everything is a pure GradientTransformation — no in-place param groups.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def param_path_name(path: Tuple[Any, ...]) -> str:
+    """flax param path → torch-style dotted name for custom_keys matching.
+
+    ('_backbone','layers0','blocks1','norm1','scale') →
+    'backbone.layers.0.blocks.1.norm1.weight'-ish; for substring matching
+    we only need the dotted join with leading underscores stripped.
+    """
+    parts = []
+    for p in path:
+        key = getattr(p, 'key', None)
+        if key is None:
+            key = getattr(p, 'idx', None)
+        if key is None:
+            key = str(p)
+        parts.append(str(key).lstrip('_'))
+    return '.'.join(parts)
+
+
+def build_multiplier_trees(params, paramwise_cfg: Optional[dict]):
+    """Return (decay_mult_tree, lr_mult_tree) matching ``params``.
+
+    Matches the reference semantics (mmcv DefaultOptimizerConstructor):
+    the *longest* custom_key contained in the param name wins; default
+    mult is 1.0. 1-D params (norms/biases) keep decay_mult from matching
+    'norm' only via the name, as in the reference.
+    """
+    custom_keys = {}
+    if paramwise_cfg:
+        custom_keys = dict(paramwise_cfg.get('custom_keys', {}))
+    sorted_keys = sorted(custom_keys, key=len, reverse=True)
+
+    def mults(path, leaf):
+        name = param_path_name(path)
+        for key in sorted_keys:
+            if key in name:
+                c = custom_keys[key]
+                return (float(c.get('decay_mult', 1.0)),
+                        float(c.get('lr_mult', 1.0)))
+        return (1.0, 1.0)
+
+    both = jax.tree_util.tree_map_with_path(mults, params)
+    decay = jax.tree_util.tree_map(lambda t: t[0], both,
+                                   is_leaf=lambda x: isinstance(x, tuple))
+    lr = jax.tree_util.tree_map(lambda t: t[1], both,
+                                is_leaf=lambda x: isinstance(x, tuple))
+    return decay, lr
+
+
+def _add_decayed_weights_mult(weight_decay: float, decay_mult_tree):
+    """optax.add_decayed_weights with a per-param multiplier tree."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError('params required for weight decay')
+        updates = jax.tree_util.tree_map(
+            lambda g, p, m: g + weight_decay * m * p,
+            updates, params, decay_mult_tree)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def _scale_by_mult(lr_mult_tree):
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        updates = jax.tree_util.tree_map(lambda g, m: g * m,
+                                         updates, lr_mult_tree)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def build_optimizer(params,
+                    optimizer_cfg: dict,
+                    lr_schedule: Callable[[jnp.ndarray], jnp.ndarray],
+                    grad_clip: Optional[dict] = None
+                    ) -> optax.GradientTransformation:
+    """cfg (e.g. ``dict(type='AdamW', lr=1e-4, betas=(0.9,0.999),
+    weight_decay=0.05, paramwise_cfg=...)``) → optax chain.
+
+    ``lr_schedule`` maps step → lr (absolute, already including base lr).
+    """
+    cfg = dict(optimizer_cfg)
+    opt_type = cfg.pop('type')
+    paramwise_cfg = cfg.pop('paramwise_cfg', None)
+    decay_tree, lr_tree = build_multiplier_trees(params, paramwise_cfg)
+
+    chain = []
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(float(grad_clip['max_norm'])))
+
+    if opt_type == 'AdamW':
+        b1, b2 = cfg.get('betas', (0.9, 0.999))
+        chain.append(optax.scale_by_adam(b1=b1, b2=b2,
+                                         eps=cfg.get('eps', 1e-8)))
+        wd = cfg.get('weight_decay', 0.0)
+        if wd:
+            chain.append(_add_decayed_weights_mult(wd, decay_tree))
+    elif opt_type == 'SGD':
+        mom = cfg.get('momentum', 0.0)
+        wd = cfg.get('weight_decay', 0.0)
+        if wd:
+            # torch SGD applies wd to the gradient BEFORE momentum
+            chain.append(_add_decayed_weights_mult(wd, decay_tree))
+        if mom:
+            chain.append(optax.trace(decay=mom,
+                                     nesterov=cfg.get('nesterov', False)))
+    elif opt_type == 'Adam':
+        b1, b2 = cfg.get('betas', (0.9, 0.999))
+        chain.append(optax.scale_by_adam(b1=b1, b2=b2,
+                                         eps=cfg.get('eps', 1e-8)))
+    else:
+        raise KeyError(f'Unsupported optimizer {opt_type}')
+
+    chain.append(_scale_by_mult(lr_tree))
+    chain.append(optax.scale_by_schedule(lambda step: -lr_schedule(step)))
+    return optax.chain(*chain)

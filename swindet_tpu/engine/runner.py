@@ -1,0 +1,123 @@
+"""Epoch-based training runner (TPU-native replacement for mmcv
+Runner/Hooks + EpochBasedRunnerAmp at
+mmcv_custom/runner/epoch_based_runner.py:20 and the hook registrations
+in mmdet/apis/train.py:140-179).
+
+Host loop responsibilities only: draw batches, call the ONE jitted train
+step, log, checkpoint, eval. LR lives inside the optimizer schedule;
+grad all-reduce lives inside the jitted step via sharding.
+"""
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+import jax
+
+from ..parallel.mesh import shard_batch, replicate
+
+
+class EpochBasedRunner:
+
+    def __init__(self,
+                 train_step: Callable,
+                 mesh,
+                 work_dir: str,
+                 logger,
+                 max_epochs: int,
+                 checkpoint_interval: int = 1,
+                 log_interval: int = 50,
+                 eval_fn: Optional[Callable] = None,
+                 eval_interval: int = 1,
+                 save_fn: Optional[Callable] = None,
+                 meta: Optional[dict] = None):
+        self.train_step = train_step
+        self.mesh = mesh
+        self.work_dir = work_dir
+        self.logger = logger
+        self.max_epochs = max_epochs
+        self.checkpoint_interval = checkpoint_interval
+        self.log_interval = log_interval
+        self.eval_fn = eval_fn
+        self.eval_interval = eval_interval
+        self.save_fn = save_fn
+        self.meta = meta or {}
+        self.epoch = 0
+        os.makedirs(work_dir, exist_ok=True)
+        self._json_log = osp.join(
+            work_dir, f'{time.strftime("%Y%m%d_%H%M%S")}.log.json')
+
+    def _log_json(self, record: dict):
+        with open(self._json_log, 'a') as f:
+            f.write(json.dumps(record) + '\n')
+
+    def run(self, state, loader, rng, resume_epoch: int = 0):
+        """Train ``max_epochs`` epochs from ``resume_epoch``; returns the
+        final state."""
+        self.epoch = resume_epoch
+        total_iters = len(loader)
+        while self.epoch < self.max_epochs:
+            loader.set_epoch(self.epoch)
+            t_data = t_step = 0.0
+            window: Dict[str, List[float]] = {}
+            t0 = time.perf_counter()
+            for i, batch in enumerate(loader):
+                batch.pop('img_metas', None)
+                t1 = time.perf_counter()
+                sbatch = shard_batch(self.mesh, batch)
+                state, metrics = self.train_step(state, sbatch, rng)
+                t2 = time.perf_counter()
+                t_data += t1 - t0
+                t_step += t2 - t1
+                for k, v in metrics.items():
+                    window.setdefault(k, []).append(float(v))
+                if (i + 1) % self.log_interval == 0 or \
+                        i + 1 == total_iters:
+                    means = {k: float(np.mean(v))
+                             for k, v in window.items()}
+                    n = len(next(iter(window.values())))
+                    msg = (f'Epoch [{self.epoch + 1}/{self.max_epochs}]'
+                           f'[{i + 1}/{total_iters}] '
+                           f'data {t_data / n:.3f}s step {t_step / n:.3f}s '
+                           + ' '.join(f'{k}: {v:.4f}'
+                                      for k, v in means.items()))
+                    self.logger.info(msg)
+                    self._log_json(dict(mode='train',
+                                        epoch=self.epoch + 1, iter=i + 1,
+                                        data_time=t_data / n,
+                                        step_time=t_step / n, **means))
+                    window.clear()
+                    t_data = t_step = 0.0
+                t0 = time.perf_counter()
+            self.epoch += 1
+            if self.save_fn and self.epoch % self.checkpoint_interval == 0:
+                path = osp.join(self.work_dir, f'epoch_{self.epoch}')
+                self.save_fn(path, state, dict(self.meta,
+                                               epoch=self.epoch))
+                latest = osp.join(self.work_dir, 'latest')
+                try:  # latest symlink (reference epoch_based_runner.py:63)
+                    if osp.lexists(latest):
+                        os.remove(latest)
+                    os.symlink(osp.basename(path), latest)
+                except OSError:
+                    pass
+                self.logger.info(f'Saved checkpoint {path}')
+            if self.eval_fn and self.epoch % self.eval_interval == 0:
+                metrics = self.eval_fn(state, self.epoch)
+                if metrics:
+                    self.logger.info(
+                        'Eval: ' + ' '.join(f'{k}: {v}'
+                                            for k, v in metrics.items()))
+                    numeric = {}
+                    for k, v in metrics.items():
+                        try:
+                            numeric[k] = float(v)
+                        except (TypeError, ValueError):
+                            pass  # e.g. mAP_copypaste strings
+                    self._log_json(dict(mode='val', epoch=self.epoch,
+                                        **numeric))
+        return state

@@ -101,6 +101,7 @@ class WindowAttention(nn.Module):
     qk_scale: Optional[float] = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    fused: Optional[bool] = None  # None = auto (Pallas kernel on TPU)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -121,24 +122,39 @@ class WindowAttention(nn.Module):
 
         qkv = nn.Dense(c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=trunc_normal_init(), name='qkv')(x)
-        qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]            # (B_, nH, N, hd)
 
-        attn = jnp.einsum('bhnd,bhmd->bhnm', q * scale, k,
-                          preferred_element_type=jnp.float32)
-        attn = attn + bias[None].astype(attn.dtype)
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(b_ // nw, nw, nh, n, n)
-            attn = attn + mask[None, :, None].astype(attn.dtype)
-            attn = attn.reshape(b_, nh, n, n)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
-        attn = attn.astype(self.dtype)
-        if self.attn_drop > 0:
-            attn = nn.Dropout(self.attn_drop)(attn,
-                                              deterministic=deterministic)
-        out = jnp.einsum('bhnm,bhmd->bhnd', attn, v.astype(self.dtype))
-        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        fused = self.fused
+        if fused is None:
+            fused = (jax.default_backend() == 'tpu'
+                     and self.attn_drop == 0.0
+                     and self.qk_scale is None)
+        if fused:
+            from ...ops.window_attention import window_attention
+            out = window_attention(qkv, bias.astype(jnp.float32),
+                                   None if mask is None
+                                   else mask.astype(jnp.float32),
+                                   num_heads=nh)
+        else:
+            qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]        # (B_, nH, N, hd)
+
+            attn = jnp.einsum('bhnd,bhmd->bhnm', q * scale, k,
+                              preferred_element_type=jnp.float32)
+            attn = attn + bias[None].astype(attn.dtype)
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(b_ // nw, nw, nh, n, n)
+                attn = attn + mask[None, :, None].astype(attn.dtype)
+                attn = attn.reshape(b_, nh, n, n)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+            attn = attn.astype(self.dtype)
+            if self.attn_drop > 0:
+                attn = nn.Dropout(self.attn_drop)(
+                    attn, deterministic=deterministic)
+            out = jnp.einsum('bhnm,bhmd->bhnd', attn,
+                             v.astype(self.dtype))
+            out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        out = out.astype(self.dtype)
         out = nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init(),
                        name='proj')(out)
         if self.proj_drop > 0:

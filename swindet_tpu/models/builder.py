@@ -7,22 +7,11 @@ from __future__ import annotations
 
 from typing import Optional
 
-from ..utils.registry import Registry, build_from_cfg
-
-BACKBONES = Registry('backbone')
-NECKS = Registry('neck')
-ROI_EXTRACTORS = Registry('roi_extractor')
-SHARED_HEADS = Registry('shared_head')
-HEADS = Registry('head')
-LOSSES = Registry('loss')
-DETECTORS = Registry('detector')
-
-# core-side registries (live here to avoid import cycles)
-BBOX_CODERS = Registry('bbox_coder')
-BBOX_ASSIGNERS = Registry('bbox_assigner')
-BBOX_SAMPLERS = Registry('bbox_sampler')
-ANCHOR_GENERATORS = Registry('anchor_generator')
-IOU_CALCULATORS = Registry('iou_calculator')
+from ..utils.registry import build_from_cfg
+from ..registries import (ANCHOR_GENERATORS, BACKBONES, BBOX_ASSIGNERS,
+                          BBOX_CODERS, BBOX_SAMPLERS, DETECTORS, HEADS,
+                          IOU_CALCULATORS, LOSSES, NECKS, ROI_EXTRACTORS,
+                          SHARED_HEADS)
 
 
 def build_backbone(cfg):

@@ -1,0 +1,134 @@
+"""Two-stage detector (reference: mmdet/models/detectors/two_stage.py:10,
+base.py:16) + one-line subclasses (mask_rcnn.py:6, faster_rcnn.py).
+
+The detector is a pure flax module: ``forward_train`` returns the loss
+dict (the engine handles pmean/log aggregation — the reference's
+_parse_losses/train_step live in engine/), ``simple_test`` returns padded
+detections. Everything is batched + static-shape; rng for the samplers
+flows through flax's 'sampling' rng collection.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..builder import (DETECTORS, build_backbone, build_head, build_neck)
+
+
+@DETECTORS.register_module()
+class TwoStageDetector(nn.Module):
+    backbone: Optional[dict] = None
+    neck: Optional[dict] = None
+    rpn_head: Optional[dict] = None
+    roi_head: Optional[dict] = None
+    train_cfg: Optional[dict] = None
+    test_cfg: Optional[dict] = None
+    pretrained: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self._backbone = build_backbone(dict(self.backbone,
+                                             dtype=self.dtype))
+        if self.neck is not None:
+            self._neck = build_neck(dict(self.neck, dtype=self.dtype))
+        if self.rpn_head is not None:
+            train_cfg = dict(self.train_cfg)['rpn'] if self.train_cfg \
+                else None
+            self._rpn_head = build_head(dict(
+                self.rpn_head, train_cfg=train_cfg,
+                test_cfg=dict(self.test_cfg)['rpn'], dtype=self.dtype))
+        if self.roi_head is not None:
+            rcnn_train = dict(self.train_cfg)['rcnn'] if self.train_cfg \
+                else None
+            self._roi_head = build_head(dict(
+                self.roi_head, train_cfg=rcnn_train,
+                test_cfg=dict(self.test_cfg)['rcnn'], dtype=self.dtype))
+
+    @property
+    def with_mask(self):
+        return (self.roi_head is not None
+                and self.roi_head.get('mask_head') is not None)
+
+    def extract_feat(self, img: jnp.ndarray, train: bool = False):
+        """backbone → neck (reference: two_stage.py:80). img: NHWC."""
+        x = self._backbone(img, train=train)
+        if self.neck is not None:
+            x = self._neck(x, train=train)
+        return x
+
+    def __call__(self, img: jnp.ndarray, train: bool = False):
+        """Default apply = feature extraction (used for init + flops)."""
+        return self.extract_feat(img, train=train)
+
+    def forward_dummy(self, img: jnp.ndarray, num_rois: int = 100):
+        """Touch every parameter once — used for init and FLOPs counting
+        (reference: two_stage.py forward_dummy)."""
+        feats = self.extract_feat(img)
+        outs = ()
+        if self.rpn_head is not None:
+            outs += self._rpn_head(feats)
+        if self.roi_head is not None:
+            outs += self._roi_head.forward_dummy(feats, num_rois)
+        return outs
+
+
+    # ---------------------------------------------------------------- train
+    def forward_train(self, img, img_shapes, pad_shapes, gt_bboxes,
+                      gt_valid, gt_labels,
+                      gt_masks=None) -> Dict[str, jnp.ndarray]:
+        """(reference: two_stage.py:105). Shapes:
+        img (B,H,W,3) · img/pad_shapes (B,2) · gt_bboxes (B,G,4) ·
+        gt_valid (B,G) · gt_labels (B,G) · gt_masks (B,G,H,W)|None."""
+        feats = self.extract_feat(img, train=True)
+        losses = {}
+
+        rpn_rng = self.make_rng('sampling')
+        rcnn_rng = self.make_rng('sampling')
+
+        cls_scores, bbox_preds = self._rpn_head(feats, train=True)
+        losses.update(self._rpn_head.loss(
+            rpn_rng, cls_scores, bbox_preds, gt_bboxes, gt_valid, None,
+            img_shapes, pad_shapes))
+
+        proposal_cfg = dict(self.train_cfg).get(
+            'rpn_proposal', dict(self.test_cfg)['rpn'])
+        proposals, _, prop_valid = self._rpn_head.get_proposals(
+            cls_scores, bbox_preds, img_shapes, dict(proposal_cfg))
+        proposals = jax.lax.stop_gradient(proposals)
+
+        losses.update(self._roi_head.forward_train(
+            rcnn_rng, feats, proposals, prop_valid, gt_bboxes, gt_valid,
+            gt_labels, gt_masks, img_shapes))
+        return losses
+
+    # ----------------------------------------------------------------- test
+    def simple_test(self, img, img_shapes, scale_factors,
+                    rescale: bool = True) -> Dict[str, jnp.ndarray]:
+        """(reference: two_stage.py:187). Returns padded dets/labels/
+        det_valid (+ mask_probs)."""
+        feats = self.extract_feat(img)
+        cls_scores, bbox_preds = self._rpn_head(feats)
+        proposals, _, prop_valid = self._rpn_head.get_proposals(
+            cls_scores, bbox_preds, img_shapes,
+            dict(dict(self.test_cfg)['rpn']))
+        return self._roi_head.simple_test(
+            feats, proposals, prop_valid, img_shapes, scale_factors,
+            rescale=rescale)
+
+
+@DETECTORS.register_module()
+class CascadeRCNN(TwoStageDetector):
+    """(reference: cascade_rcnn.py:6)."""
+
+
+@DETECTORS.register_module()
+class MaskRCNN(TwoStageDetector):
+    """(reference: mask_rcnn.py:6)."""
+
+
+@DETECTORS.register_module()
+class FasterRCNN(TwoStageDetector):
+    """(reference: faster_rcnn.py)."""

@@ -1,0 +1,10 @@
+from .roi_extractor import SingleRoIExtractor
+from .bbox_heads import (BBoxHead, ConvFCBBoxHead, Shared2FCBBoxHead,
+                         Shared4Conv1FCBBoxHead)
+from .mask_heads import FCNMaskHead
+from .standard_roi_head import StandardRoIHead
+from .cascade_roi_head import CascadeRoIHead
+
+__all__ = ['SingleRoIExtractor', 'BBoxHead', 'ConvFCBBoxHead',
+           'Shared2FCBBoxHead', 'Shared4Conv1FCBBoxHead', 'FCNMaskHead', 'CascadeRoIHead',
+           'StandardRoIHead']

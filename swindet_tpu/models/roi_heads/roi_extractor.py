@@ -1,0 +1,45 @@
+"""SingleRoIExtractor (reference: mmdet/models/roi_heads/roi_extractors/
+single_level_roi_extractor.py:9).
+
+Thin config shell over ops.roi_align.multilevel_roi_align: FPN level
+routing via floor(log2(sqrt(wh)/finest_scale)) and one flat gather. The
+reference's dead-level gradient hack (:99-107) is unnecessary — every
+parameter participates in the jitted graph by construction.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+
+from ..builder import ROI_EXTRACTORS
+from ...ops.roi_align import multilevel_roi_align
+
+
+@ROI_EXTRACTORS.register_module()
+class SingleRoIExtractor:
+    def __init__(self, roi_layer: dict, out_channels: int,
+                 featmap_strides: Sequence[int],
+                 finest_scale: int = 56, **kwargs):
+        assert roi_layer.get('type', 'RoIAlign') == 'RoIAlign'
+        self.out_size = roi_layer['output_size']
+        # sampling_ratio=0 (adaptive) is data-dependent; use the fixed
+        # detectron2-style grid of 2 (see ops/roi_align.py docstring)
+        sr = roi_layer.get('sampling_ratio', 0)
+        self.sampling_ratio = sr if sr and sr > 0 else 2
+        self.out_channels = out_channels
+        self.featmap_strides = list(featmap_strides)
+        self.finest_scale = finest_scale
+
+    @property
+    def num_inputs(self):
+        return len(self.featmap_strides)
+
+    def __call__(self, feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
+                 roi_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """feats: per-level NHWC; rois: (R, 5) with batch col.
+        Returns (R, out, out, C)."""
+        return multilevel_roi_align(
+            list(feats)[:self.num_inputs], rois, self.featmap_strides,
+            self.out_size, self.sampling_ratio, self.finest_scale,
+            roi_valid=roi_valid)

@@ -1,0 +1,168 @@
+"""StandardRoIHead — Mask R-CNN second stage (reference:
+mmdet/models/roi_heads/standard_roi_head.py:10).
+
+Train: per-image assign+sample on padded proposals (vmapped), RoIAlign
+over the batch-flattened fixed slots, bbox + mask losses. Mask branch
+uses the first ``num*pos_fraction`` sampler slots — positives are packed
+first, so this covers exactly the positive RoIs the reference trains on.
+
+Test: padded proposals → bbox head → per-image multiclass NMS → mask
+probs for the kept detections. All under jit; mask pasting at the host
+boundary.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..builder import (HEADS, build_assigner, build_from_cfg, build_head,
+                       build_roi_extractor, build_sampler)
+from ...core.bbox.samplers import SamplingResult
+
+
+@HEADS.register_module()
+class StandardRoIHead(nn.Module):
+    bbox_roi_extractor: Optional[dict] = None
+    bbox_head: Optional[dict] = None
+    mask_roi_extractor: Optional[dict] = None
+    mask_head: Optional[dict] = None
+    shared_head: Optional[dict] = None
+    train_cfg: Optional[dict] = None
+    test_cfg: Optional[dict] = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        if self.bbox_head is not None:
+            self._bbox_extractor = build_roi_extractor(
+                dict(self.bbox_roi_extractor))
+            self._bbox_head = build_head(
+                dict(self.bbox_head, dtype=self.dtype))
+        if self.mask_head is not None:
+            ext = self.mask_roi_extractor or self.bbox_roi_extractor
+            self._mask_extractor = build_roi_extractor(dict(ext))
+            self._mask_head = build_head(
+                dict(self.mask_head, dtype=self.dtype))
+        if self.train_cfg:
+            self._assigner = build_assigner(dict(self.train_cfg['assigner']))
+            self._sampler = build_sampler(dict(self.train_cfg['sampler']))
+
+    @property
+    def with_mask(self):
+        return self.mask_head is not None
+
+    def forward_dummy(self, feats, num_rois: int = 100):
+        """Touch all parameters (init / FLOPs)."""
+        rois = jnp.concatenate([
+            jnp.zeros((num_rois, 1)),
+            jnp.tile(np.asarray([[0., 0., 32., 32.]], np.float32), (num_rois, 1)),
+        ], axis=-1)
+        outs = self._bbox_head(self._bbox_extractor(feats, rois))
+        if self.with_mask:
+            outs += (self._mask_head(self._mask_extractor(feats, rois)),)
+        return outs
+
+    # ---------------------------------------------------------------- train
+    def forward_train(self, rng, feats, proposals, proposal_valid,
+                      gt_bboxes, gt_valid, gt_labels, gt_masks,
+                      img_shapes) -> Dict[str, jnp.ndarray]:
+        """feats: per-level (B, H, W, C); proposals: (B, P, 4);
+        gt_bboxes: (B, G, 4); gt_masks: (B, G, Hpad, Wpad) or None."""
+        b, p = proposals.shape[:2]
+        num = self._sampler.num
+
+        def assign_sample(r, props, pvalid, gb, gv, gl):
+            assign = self._assigner.assign(props, gb, gv, gl,
+                                           bbox_valid=pvalid)
+            return self._sampler.sample(r, assign, props, gb, gv, gl,
+                                        bbox_valid=pvalid)
+
+        rngs = jax.random.split(rng, b)
+        samp: SamplingResult = jax.vmap(assign_sample)(
+            rngs, proposals, proposal_valid, gt_bboxes, gt_valid, gt_labels)
+
+        # rois (B*num, 5) with batch index col
+        batch_col = jnp.repeat(np.arange(b, dtype=np.float32), num)
+        rois = jnp.concatenate(
+            [batch_col[:, None], samp.bboxes.reshape(-1, 4)], axis=-1)
+
+        losses = {}
+        bbox_feats = self._bbox_extractor(feats, rois)
+        cls_score, bbox_pred = self._bbox_head(bbox_feats, train=True)
+
+        tgt = jax.vmap(lambda s: self._bbox_head.get_targets(
+            s, dict(self.train_cfg)))(samp)
+        labels, label_weights, bbox_targets, bbox_weights = \
+            jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), tgt)
+        losses.update(self._bbox_head.loss(
+            cls_score, bbox_pred, rois, labels, label_weights,
+            bbox_targets, bbox_weights))
+
+        if self.with_mask and gt_masks is not None:
+            m = int(num * self._sampler.pos_fraction)
+            # positives are packed first in sampler slots
+            pos_boxes = samp.bboxes[:, :m]                     # (B, M, 4)
+            pos_inds = samp.pos_gt_inds[:, :m]
+            pos_mask = samp.is_pos[:, :m]
+            pos_labels = jnp.clip(samp.pos_gt_labels[:, :m], 0)
+
+            mask_rois = jnp.concatenate(
+                [jnp.repeat(np.arange(b, dtype=np.float32), m)[:, None],
+                 pos_boxes.reshape(-1, 4)], axis=-1)
+            mask_feats = self._mask_extractor(feats, mask_rois)
+            mask_pred = self._mask_head(mask_feats, train=True)
+
+            mask_size = self.train_cfg.get('mask_size', 28)
+            targets = jax.vmap(
+                lambda gm, pb, pi: self._mask_head.get_targets(
+                    gm, pb, pi, mask_size))(gt_masks, pos_boxes, pos_inds)
+            losses.update(self._mask_head.loss(
+                mask_pred, targets.reshape(-1, mask_size, mask_size),
+                pos_labels.reshape(-1),
+                pos_mask.reshape(-1).astype(jnp.float32)))
+        return losses
+
+    # ----------------------------------------------------------------- test
+    def simple_test(self, feats, proposals, proposal_valid, img_shapes,
+                    scale_factors, rescale: bool = True):
+        """Returns dict with padded dets (B, max, 5), labels (B, max),
+        det_valid (B, max), and mask probs (B, max, 2s, 2s) if with_mask."""
+        cfg = dict(self.test_cfg)
+        b, p = proposals.shape[:2]
+        batch_col = jnp.repeat(np.arange(b, dtype=np.float32), p)
+        rois = jnp.concatenate(
+            [batch_col[:, None], proposals.reshape(-1, 4)], axis=-1)
+        bbox_feats = self._bbox_extractor(feats, rois)
+        cls_score, bbox_pred = self._bbox_head(bbox_feats)
+
+        cls_score = cls_score.reshape(b, p, -1)
+        bbox_pred = bbox_pred.reshape(b, p, -1)
+        rois = rois.reshape(b, p, 5)
+
+        nms_res = jax.vmap(
+            lambda r, c, bp, sh, sf, v: self._bbox_head.get_bboxes(
+                r, c, bp, sh, sf, rescale, cfg, roi_valid=v))(
+                rois, cls_score, bbox_pred, img_shapes, scale_factors,
+                proposal_valid)
+        out = dict(dets=nms_res.dets, labels=nms_res.labels,
+                   det_valid=nms_res.valid)
+
+        if self.with_mask:
+            max_out = nms_res.dets.shape[1]
+            det_boxes = nms_res.dets[..., :4]
+            if rescale:  # masks RoIAlign runs at input scale
+                det_boxes = det_boxes * scale_factors[:, None, :4]
+            mask_rois = jnp.concatenate(
+                [jnp.repeat(np.arange(b, dtype=np.float32),
+                            max_out)[:, None],
+                 det_boxes.reshape(-1, 4)], axis=-1)
+            mask_feats = self._mask_extractor(feats, mask_rois)
+            mask_pred = self._mask_head(mask_feats)
+            probs = self._mask_head.get_mask_probs(
+                mask_pred, nms_res.labels.reshape(-1))
+            out['mask_probs'] = probs.reshape(
+                b, max_out, probs.shape[1], probs.shape[2])
+        return out

@@ -120,8 +120,8 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray],
 
     r = sampling_ratio
     # sample positions: bin index + centered sub-sample offsets
-    steps = (jnp.arange(out_size)[:, None] +
-             (jnp.arange(r)[None, :] + 0.5) / r)            # (out, r)
+    steps = (np.arange(out_size)[:, None] +
+             (np.arange(r)[None, :] + 0.5) / r)            # (out, r)
     ys = y1[:, None, None] + steps[None] * bin_h[:, None, None]  # (R,out,r)
     xs = x1[:, None, None] + steps[None] * bin_w[:, None, None]
 

@@ -7,3 +7,7 @@ __all__ = [
     'Registry', 'build_from_cfg', 'Config', 'ConfigDict', 'DictAction',
     'get_root_logger', 'collect_env',
 ]
+
+from .jit_init import jit_init  # noqa: E402
+
+__all__.append('jit_init')
