@@ -54,16 +54,21 @@ def main():
         return model.apply(variables, img, img_shapes, scale_factors,
                            method='simple_test')
 
+    def sync(o):
+        # On tunneled platforms block_until_ready returns before device
+        # execution finishes; a host readback is the only true fence.
+        return float(jnp.sum(o['dets']))
+
     out = run(variables, img, img_shapes, scale_factors)
-    jax.block_until_ready(out)
+    sync(out)
     for _ in range(warmup):
         out = run(variables, img, img_shapes, scale_factors)
-    jax.block_until_ready(out)
+    sync(out)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run(variables, img, img_shapes, scale_factors)
-    jax.block_until_ready(out)
+    sync(out)  # device stream is in-order: one readback fences all iters
     dt = time.perf_counter() - t0
     ips = batch * iters / dt
 

@@ -158,3 +158,67 @@ def add_gt_as_candidates(assign_result: AssignResult,
         max_overlaps=jnp.concatenate(
             [gt_ovr, assign_result.max_overlaps]),
         labels=jnp.concatenate([gt_lab, assign_result.labels]))
+
+
+@BBOX_ASSIGNERS.register_module()
+class PointAssigner:
+    """Assign gts to points (reference: mmdet/core/bbox/assigners/
+    point_assigner.py) — each gt claims the ``pos_num`` closest points
+    at its scale-matched pyramid level; later gts override earlier ones
+    on conflict (the reference's in-order overwrite).
+    """
+
+    def __init__(self, scale: int = 4, pos_num: int = 3):
+        self.scale = scale
+        self.pos_num = pos_num
+
+    def assign(self,
+               points: jnp.ndarray,
+               gt_bboxes: jnp.ndarray,
+               gt_valid: jnp.ndarray,
+               gt_labels: Optional[jnp.ndarray] = None,
+               bbox_valid: Optional[jnp.ndarray] = None) -> AssignResult:
+        """points: (N, 3) [x, y, stride]; gt_bboxes: (G, 4) padded."""
+        n = points.shape[0]
+        g = gt_bboxes.shape[0]
+        px, py = points[:, 0], points[:, 1]
+        lvl = jnp.log2(points[:, 2])                          # (N,)
+
+        cx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) * 0.5
+        cy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) * 0.5
+        gw = jnp.clip(gt_bboxes[:, 2] - gt_bboxes[:, 0], 1e-6)
+        gh = jnp.clip(gt_bboxes[:, 3] - gt_bboxes[:, 1], 1e-6)
+        # gt level: log2(sqrt(wh)/scale), clamped to the point levels
+        gt_lvl = jnp.floor(
+            jnp.log2(gw / self.scale) / 2 + jnp.log2(gh / self.scale) / 2
+            + 0.5)
+        gt_lvl = jnp.clip(gt_lvl, jnp.min(lvl), jnp.max(lvl))
+
+        # normalized distance point→gt center at the gt's level scale
+        stride = 2.0 ** gt_lvl                                 # (G,)
+        dist = jnp.sqrt((px[:, None] - cx[None]) ** 2 +
+                        (py[:, None] - cy[None]) ** 2) / stride[None]
+        same_lvl = jnp.abs(lvl[:, None] - gt_lvl[None]) < 0.5
+        big = 1e8
+        dist = jnp.where(same_lvl & gt_valid[None], dist, big)
+        if bbox_valid is not None:
+            dist = jnp.where(bbox_valid[:, None], dist, big)
+
+        # each gt claims its pos_num closest points
+        rank = jnp.argsort(jnp.argsort(dist, axis=0), axis=0)  # (N, G)
+        claims = (rank < self.pos_num) & (dist < big)
+        # later gt wins on conflict
+        rev = claims[:, ::-1]
+        last_g = g - 1 - jnp.argmax(rev, axis=1)
+        has = jnp.any(claims, axis=1)
+        gt_inds = jnp.where(has, last_g.astype(jnp.int32) + 1, 0)
+
+        if gt_labels is not None:
+            lab = jnp.take(gt_labels.astype(jnp.int32),
+                           jnp.clip(gt_inds - 1, 0))
+            labels = jnp.where(gt_inds > 0, lab, -1)
+        else:
+            labels = jnp.full((n,), -1, jnp.int32)
+        return AssignResult(gt_inds=gt_inds,
+                            max_overlaps=jnp.where(has, 1.0, 0.0),
+                            labels=labels)

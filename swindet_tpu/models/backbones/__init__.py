@@ -1,3 +1,4 @@
 from .swin import SwinTransformer
+from .resnet import ResNet, ResNeXt
 
-__all__ = ['SwinTransformer']
+__all__ = ['SwinTransformer', 'ResNet', 'ResNeXt']

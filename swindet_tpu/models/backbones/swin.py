@@ -29,6 +29,7 @@ import flax.linen as nn
 
 from ..builder import BACKBONES
 from ..layers import DropPath, Mlp, trunc_normal_init
+from ...ops.layer_norm import FusedLayerNorm
 
 Dtype = Any
 
@@ -64,6 +65,45 @@ def relative_position_index(wh: int, ww: int) -> np.ndarray:
     rel[:, :, 1] += ww - 1
     rel[:, :, 0] *= 2 * ww - 1
     return rel.sum(-1)
+
+
+@functools.lru_cache(maxsize=256)
+def window_gather_indices(h: int, w: int, ws: int, shift: int):
+    """Fold pad + cyclic roll + window partition into ONE gather.
+
+    Returns (idx, valid, inv_idx) numpy constants:
+    - idx (nW*N,): flat (h*W+w) source index per window token (0 where
+      the token falls in the pad region),
+    - valid (nW*N,): 0/1 mask for pad tokens (zeros match the
+      reference's F.pad semantics, swin_transformer.py:214-218),
+    - inv_idx (H*W,): window-token position that lands back on each
+      original pixel (fuses window_reverse + unshift + unpad).
+    """
+    hp = (h + ws - 1) // ws * ws
+    wp = (w + ws - 1) // ws * ws
+    gr = np.arange(hp)
+    gc = np.arange(wp)
+    # value at rolled coords (gr, gc) comes from padded (r, c):
+    r = (gr + shift) % hp
+    c = (gc + shift) % wp
+    rr, cc = np.meshgrid(r, c, indexing='ij')          # (hp, wp)
+    valid = (rr < h) & (cc < w)
+    flat = np.where(valid, rr * w + cc, 0)
+    # partition rolled grid into windows
+    t = flat.reshape(hp // ws, ws, wp // ws, ws).transpose(0, 2, 1, 3)
+    idx = t.reshape(-1).astype(np.int32)
+    v = valid.reshape(hp // ws, ws, wp // ws, ws).transpose(0, 2, 1, 3)
+    valid_flat = v.reshape(-1).astype(np.float32)
+    # inverse: original pixel (i, j) sits at rolled ((i-shift)%hp, ...)
+    oi = np.arange(h)
+    oj = np.arange(w)
+    ri = (oi - shift) % hp
+    cj = (oj - shift) % wp
+    rri, ccj = np.meshgrid(ri, cj, indexing='ij')
+    wi = (rri // ws) * (wp // ws) + ccj // ws
+    tok = (rri % ws) * ws + ccj % ws
+    inv_idx = (wi * (ws * ws) + tok).reshape(-1).astype(np.int32)
+    return idx, valid_flat, inv_idx
 
 
 @functools.lru_cache(maxsize=256)
@@ -129,11 +169,11 @@ class WindowAttention(nn.Module):
                      and self.attn_drop == 0.0
                      and self.qk_scale is None)
         if fused:
-            from ...ops.window_attention import window_attention
-            out = window_attention(qkv, bias.astype(jnp.float32),
-                                   None if mask is None
-                                   else mask.astype(jnp.float32),
-                                   num_heads=nh)
+            from ...ops.window_attention_v3 import window_attention_v3
+            out = window_attention_v3(qkv, bias.astype(jnp.float32),
+                                      None if mask is None
+                                      else mask.astype(jnp.float32),
+                                      num_heads=nh)
         else:
             qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0], qkv[1], qkv[2]        # (B_, nH, N, hd)
@@ -184,43 +224,39 @@ class SwinBlock(nn.Module):
         ws, shift = self.window_size, self.shift_size
 
         shortcut = x
-        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name='norm1')(x)
-        y = y.astype(self.dtype)
+        # LN IO in compute dtype; statistics stay fp32 inside flax
+        y = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm1')(x)
 
-        pad_b = (ws - h % ws) % ws
-        pad_r = (ws - w % ws) % ws
-        if pad_b or pad_r:
-            y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
-        hp, wp = h + pad_b, w + pad_r
+        hp = (h + ws - 1) // ws * ws
+        wp = (w + ws - 1) // ws * ws
 
-        if shift > 0:
-            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-            mask = shifted_window_attn_mask(hp, wp, ws, shift)
-            mask = jnp.asarray(mask)
-        else:
-            mask = None
+        # pad + cyclic roll + window partition folded into ONE gather
+        # (and the reverse into one inverse gather) — replaces 2 pads +
+        # 2 rolls + 2 reshape/transpose copies per block.
+        idx, valid, inv_idx = window_gather_indices(h, w, ws, shift)
+        n = ws * ws
+        y = y.reshape(b, h * w, c)[:, idx, :]
+        if not bool(valid.all()):
+            y = y * jnp.asarray(valid[:, None], y.dtype)[None]
+        windows = y.reshape(b * (hp // ws) * (wp // ws), n, c)
 
-        windows = window_partition(y, ws).reshape(-1, ws * ws, c)
+        mask = shifted_window_attn_mask(hp, wp, ws, shift) \
+            if shift > 0 else None
         attn = WindowAttention(
             dim=self.dim, window_size=(ws, ws), num_heads=self.num_heads,
             qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
             attn_drop=self.attn_drop, proj_drop=self.drop,
             dtype=self.dtype, name='attn')(
                 windows, mask, deterministic=deterministic)
-        y = window_reverse(attn.reshape(-1, ws, ws, c), ws, hp, wp)
-
-        if shift > 0:
-            y = jnp.roll(y, (shift, shift), axis=(1, 2))
-        if pad_b or pad_r:
-            y = y[:, :h, :w, :]
+        y = attn.reshape(b, -1, c)[:, inv_idx, :].reshape(b, h, w, c)
 
         dp = DropPath(self.drop_path, name='drop_path')
         x = shortcut + dp(y, deterministic=deterministic)
 
-        z = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name='norm2')(x)
+        z = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm2')(x)
         z = Mlp(hidden_features=int(c * self.mlp_ratio), out_features=c,
                 drop=self.drop, dtype=self.dtype, name='mlp')(
-                    z.astype(self.dtype), deterministic=deterministic)
+                    z, deterministic=deterministic)
         return x + dp(z, deterministic=deterministic)
 
 
@@ -240,10 +276,9 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2, :]
         x3 = x[:, 1::2, 1::2, :]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name='norm')(x)
+        x = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm')(x)
         x = nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
-                     kernel_init=trunc_normal_init(), name='reduction')(
-                         x.astype(self.dtype))
+                     kernel_init=trunc_normal_init(), name='reduction')(x)
         return x
 
 
@@ -333,8 +368,8 @@ class SwinTransformer(nn.Module):
                     dtype=self.dtype,
                     name='patch_embed.proj')(x.astype(self.dtype))
         if self.patch_norm:
-            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
-                             name='patch_embed.norm')(x).astype(self.dtype)
+            x = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype,
+                               name='patch_embed.norm')(x)
 
         wh, ww = x.shape[1], x.shape[2]
         if self.ape:
@@ -369,7 +404,7 @@ class SwinTransformer(nn.Module):
                 dtype=self.dtype,
                 name=f'layers{i}')(x, deterministic)
             if i in self.out_indices:
-                out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
-                                   name=f'norm{i}')(out)
-                outs.append(out.astype(self.dtype))
+                out = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                     name=f'norm{i}')(out)
+                outs.append(out)
         return tuple(outs)

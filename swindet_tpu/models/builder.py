@@ -59,6 +59,10 @@ def build_detector(cfg, train_cfg: Optional[dict] = None,
     """Build a detector; cfg-level train_cfg/test_cfg take priority
     (reference semantics: mmdet/models/builder.py build_detector)."""
     cfg = dict(cfg)
+    if isinstance(cfg.get('dtype'), str):
+        import jax.numpy as jnp
+        cfg['dtype'] = dict(bfloat16=jnp.bfloat16, float32=jnp.float32,
+                            float16=jnp.float16)[cfg['dtype']]
     if train_cfg is not None or test_cfg is not None:
         assert cfg.get('train_cfg') is None or train_cfg is None, \
             'train_cfg specified in both outer field and model field'

@@ -1,4 +1,6 @@
 from .anchor_head import AnchorHead
 from .rpn_head import RPNHead
+from .retina_head import RetinaHead
+from .reppoints_head import RepPointsHead
 
-__all__ = ['AnchorHead', 'RPNHead']
+__all__ = ['AnchorHead', 'RPNHead', 'RetinaHead', 'RepPointsHead']

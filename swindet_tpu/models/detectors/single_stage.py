@@ -1,0 +1,101 @@
+"""Single-stage detector (reference: mmdet/models/detectors/
+single_stage.py:10) + one-line subclasses (retinanet.py, fcos.py,
+reppoints_detector.py:6).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..builder import DETECTORS, build_backbone, build_head, build_neck
+
+
+@DETECTORS.register_module()
+class SingleStageDetector(nn.Module):
+    backbone: Optional[dict] = None
+    neck: Optional[dict] = None
+    bbox_head: Optional[dict] = None
+    train_cfg: Optional[dict] = None
+    test_cfg: Optional[dict] = None
+    pretrained: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self._backbone = build_backbone(dict(self.backbone,
+                                             dtype=self.dtype))
+        if self.neck is not None:
+            self._neck = build_neck(dict(self.neck, dtype=self.dtype))
+        self._bbox_head = build_head(dict(
+            self.bbox_head, train_cfg=self.train_cfg,
+            test_cfg=self.test_cfg, dtype=self.dtype))
+
+    def extract_feat(self, img: jnp.ndarray, train: bool = False):
+        x = self._backbone(img, train=train)
+        if self.neck is not None:
+            x = self._neck(x, train=train)
+        return x
+
+    def __call__(self, img: jnp.ndarray, train: bool = False):
+        return self.extract_feat(img, train=train)
+
+    def forward_dummy(self, img: jnp.ndarray, num_rois: int = 100):
+        feats = self.extract_feat(img)
+        return self._bbox_head(feats)
+
+    def forward_train(self, img, img_shapes, pad_shapes, gt_bboxes,
+                      gt_valid, gt_labels,
+                      gt_masks=None) -> Dict[str, jnp.ndarray]:
+        """(reference: single_stage.py forward_train)."""
+        feats = self.extract_feat(img, train=True)
+        rng = self.make_rng('sampling')
+        cls_scores, bbox_preds = self._bbox_head(feats, train=True)
+        return self._bbox_head.loss(rng, cls_scores, bbox_preds,
+                                    gt_bboxes, gt_valid, gt_labels,
+                                    img_shapes, pad_shapes)
+
+    def simple_test(self, img, img_shapes, scale_factors,
+                    rescale: bool = True) -> Dict[str, jnp.ndarray]:
+        feats = self.extract_feat(img)
+        cls_scores, bbox_preds = self._bbox_head(feats)
+        res = self._bbox_head.get_bboxes(
+            cls_scores, bbox_preds, img_shapes, scale_factors,
+            cfg=dict(self.test_cfg), rescale=rescale)
+        return dict(dets=res.dets, labels=res.labels,
+                    det_valid=res.valid)
+
+
+@DETECTORS.register_module()
+class RetinaNet(SingleStageDetector):
+    """(reference: retinanet.py)."""
+
+
+@DETECTORS.register_module()
+class RepPointsDetector(SingleStageDetector):
+    """(reference: reppoints_detector.py:6) — 3-output head."""
+
+    def forward_train(self, img, img_shapes, pad_shapes, gt_bboxes,
+                      gt_valid, gt_labels, gt_masks=None):
+        feats = self.extract_feat(img, train=True)
+        rng = self.make_rng('sampling')
+        cls_scores, pts_init, pts_refine = self._bbox_head(feats,
+                                                           train=True)
+        return self._bbox_head.loss(rng, cls_scores, pts_init,
+                                    pts_refine, gt_bboxes, gt_valid,
+                                    gt_labels, img_shapes, pad_shapes)
+
+    def simple_test(self, img, img_shapes, scale_factors,
+                    rescale: bool = True):
+        feats = self.extract_feat(img)
+        cls_scores, pts_init, pts_refine = self._bbox_head(feats)
+        res = self._bbox_head.get_bboxes(
+            cls_scores, pts_init, pts_refine, img_shapes, scale_factors,
+            cfg=dict(self.test_cfg), rescale=rescale)
+        return dict(dets=res.dets, labels=res.labels,
+                    det_valid=res.valid)
+
+
+@DETECTORS.register_module()
+class FCOS(SingleStageDetector):
+    """(reference: fcos.py)."""

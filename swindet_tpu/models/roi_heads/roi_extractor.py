@@ -39,6 +39,17 @@ class SingleRoIExtractor:
                  roi_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """feats: per-level NHWC; rois: (R, 5) with batch col.
         Returns (R, out, out, C)."""
+        import jax
+        # Pallas strip kernel needs lane-collapsible channels (Mosaic
+        # folds (S, C) for the MXU only when C is a lane multiple)
+        if jax.default_backend() == 'tpu' and \
+                feats[0].shape[-1] % 128 == 0:
+            from ...ops.roi_align_pallas import multilevel_roi_align_pallas
+            return multilevel_roi_align_pallas(
+                list(feats)[:self.num_inputs], rois,
+                tuple(self.featmap_strides), self.out_size,
+                self.sampling_ratio, self.finest_scale,
+                roi_valid=roi_valid)
         return multilevel_roi_align(
             list(feats)[:self.num_inputs], rois, self.featmap_strides,
             self.out_size, self.sampling_ratio, self.finest_scale,

@@ -1,0 +1,89 @@
+"""Deformable convolution — gather-based bilinear sampling (TPU-native
+stand-in for mmcv's DeformConv2d CUDA op; reference usage:
+mmdet/models/dense_heads/reppoints_head.py:10,283-287).
+
+Per output pixel, K = kh*kw taps are sampled at (base grid + predicted
+offset) via bilinear interpolation (zero outside), then contracted with
+the kernel: out[b,i,j,o] = Σ_k Σ_c w[k,c,o] · x̃[b, i+Δy_k, j+Δx_k, c].
+The sampling is one flat row-gather per tap corner batched over taps —
+XLA-friendly static shapes (SURVEY.md §2.9 DeformConv2d row).
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+
+def deform_sample(x: jnp.ndarray, sample_y: jnp.ndarray,
+                  sample_x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear-sample x (B, H, W, C) at (B, H, W, K) fractional
+    positions; zero outside [−1, H/W] torch-style borders.
+    Returns (B, H, W, K, C)."""
+    b, h, w, c = x.shape
+    k = sample_y.shape[-1]
+    flat = x.reshape(b, h * w, c)
+
+    valid = ((sample_y > -1.0) & (sample_y < h) &
+             (sample_x > -1.0) & (sample_x < w))
+    y = jnp.clip(sample_y, 0.0, h - 1.0)
+    xx = jnp.clip(sample_x, 0.0, w - 1.0)
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(xx)
+    y1 = jnp.minimum(y0 + 1, h - 1.0)
+    x1 = jnp.minimum(x0 + 1, w - 1.0)
+    ly, lx = y - y0, xx - x0
+    hy, hx = 1.0 - ly, 1.0 - lx
+
+    def take(yy, xs):
+        idx = (yy * w + xs).astype(jnp.int32).reshape(b, -1)
+        return jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(
+            flat, idx).reshape(b, h, w, k, c)
+
+    out = (take(y0, x0) * (hy * hx)[..., None] +
+           take(y0, x1) * (hy * lx)[..., None] +
+           take(y1, x0) * (ly * hx)[..., None] +
+           take(y1, x1) * (ly * lx)[..., None])
+    return jnp.where(valid[..., None], out, 0.0)
+
+
+class DeformConv2d(nn.Module):
+    """torch-compatible deformable conv (kernel kh×kw, stride 1, pad
+    (kh//2, kw//2)); ``offset`` is (B, H, W, 2*K) with (dy, dx) pairs in
+    torch channel order."""
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        kh, kw = self.kernel_size
+        k = kh * kw
+        base = np.stack(np.meshgrid(
+            np.arange(kh) - kh // 2, np.arange(kw) - kw // 2,
+            indexing='ij'), -1).reshape(k, 2)          # (K, 2) (dy, dx)
+        grid_y = np.arange(h)[:, None]
+        grid_x = np.arange(w)[None, :]
+
+        off = offset.astype(jnp.float32).reshape(b, h, w, k, 2)
+        sy = grid_y[None, :, :, None] + base[None, None, None, :, 0] \
+            + off[..., 0]
+        sx = grid_x[None, :, :, None] + base[None, None, None, :, 1] \
+            + off[..., 1]
+
+        samples = deform_sample(x.astype(jnp.float32), sy, sx)
+        weight = self.param(
+            'weight', nn.initializers.he_normal(), (k, c, self.features))
+        out = jnp.einsum('bhwkc,kcf->bhwf',
+                         samples.astype(self.dtype),
+                         weight.astype(self.dtype),
+                         preferred_element_type=jnp.float32)
+        if self.use_bias:
+            out = out + self.param('bias', nn.initializers.zeros,
+                                   (self.features,))
+        return out.astype(self.dtype)

@@ -1,0 +1,271 @@
+"""Pallas RoIAlign — strip-DMA + separable interpolation matmuls.
+
+The XLA gather formulation (roi_align.py) reads one (1, C) row per
+bilinear tap; TPU tiling pads every such read to a full sublane tile,
+so the RoI stage runs ~8× over useful bytes (profiled ~8 ms of the
+Mask R-CNN forward at 800×1344). This kernel instead:
+
+1. DMAs one contiguous (S, S, C) feature strip per RoI from its FPN
+   level (full-bandwidth contiguous rows, double-buffered across the
+   RoI grid),
+2. exploits that bilinear sampling + bin averaging are both linear:
+   out = A_y · strip · A_xᵀ with per-RoI interpolation matrices
+   A (out_size, S) built from iota arithmetic in-register.
+
+S = 48 covers every RoI COCO-scale inputs produce at its assigned FPN
+level (cells/level ∈ [14, 28) by the finest_scale-56 routing,
+reference: single_level_roi_extractor.py:32-51; level-3 catches rois up
+to 1536 px). mmcv semantics preserved: aligned=True half-pixel offset,
+border clamp, y < -1 / y > H samples contribute zero.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .roi_align import map_roi_levels, multilevel_roi_align
+
+STRIP = 64       # rows (leading dim — no alignment constraint)
+STRIP_W = 56     # cols (sublane-tiled in HBM: starts must be 8-aligned)
+
+
+def _interp_matrix(coords, n_pix, origin, s, r, out_size):
+    """A (out_size, S): averaged linear-interp weights.
+
+    coords: (r, out_size) absolute sample positions (already clamped to
+    [0, H-1], zeroed rows for invalid samples via ``coords`` = -2).
+    origin: strip start (scalar). Weight w(y, cell) = max(0, 1-|y-cell|).
+    """
+    cells = jax.lax.broadcasted_iota(
+        jnp.int32, (out_size, s), 1).astype(jnp.float32) \
+        + origin.astype(jnp.float32)
+    org = origin.astype(jnp.float32)
+    acc = jnp.zeros((out_size, s), jnp.float32)
+    for j in range(r):
+        y = coords[j][:, None]                       # (out, 1)
+        valid = (y >= -1.5)                          # invalid marked -2
+        yc = jnp.clip(y, 0.0, n_pix - 1.0)
+        # edge-extend into the strip: samples of extreme-aspect rois
+        # (cell extent > S, aspect ≳ 5 at the assigned FPN level) clamp
+        # to the strip border — bounded approximation; the custom-VJP
+        # backward uses the exact XLA path.
+        yc = jnp.clip(yc, org, org + s - 1.0)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(yc - cells))
+        acc = acc + jnp.where(valid, w, 0.0)
+    return acc / r
+
+
+def _roi_align_kernel(scal_ref, ys_ref, xs_ref, *refs,
+                      num_levels: int, out_size: int, r: int, c: int):
+    feat_refs = refs[:num_levels]
+    out_ref = refs[num_levels]
+    strip, sem = refs[num_levels + 1], refs[num_levels + 2]
+
+    n_rois = pl.num_programs(0)
+    i = pl.program_id(0)
+
+    def start_dma(slot, roi):
+        lvl = scal_ref[roi, 0]
+        b = scal_ref[roi, 1]
+        y0 = scal_ref[roi, 2]
+        x0 = scal_ref[roi, 3]
+        for l in range(num_levels):
+            @pl.when(lvl == l)
+            def _():
+                pltpu.make_async_copy(
+                    feat_refs[l].at[b, pl.ds(y0, STRIP),
+                                    pl.ds(pl.multiple_of(x0, 8),
+                                          STRIP_W), :],
+                    strip.at[slot], sem.at[slot]).start()
+
+    def wait_dma(slot, roi):
+        lvl = scal_ref[roi, 0]
+        b = scal_ref[roi, 1]
+        y0 = scal_ref[roi, 2]
+        x0 = scal_ref[roi, 3]
+        for l in range(num_levels):
+            @pl.when(lvl == l)
+            def _():
+                pltpu.make_async_copy(
+                    feat_refs[l].at[b, pl.ds(y0, STRIP),
+                                    pl.ds(pl.multiple_of(x0, 8),
+                                          STRIP_W), :],
+                    strip.at[slot], sem.at[slot]).wait()
+
+    slot = jax.lax.rem(i, 2)
+    nslot = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _():
+        start_dma(0, 0)
+
+    @pl.when(i + 1 < n_rois)
+    def _():
+        start_dma(nslot, i + 1)
+
+    wait_dma(slot, i)
+
+    h_l = scal_ref[i, 4].astype(jnp.float32)
+    w_l = scal_ref[i, 5].astype(jnp.float32)
+    valid = scal_ref[i, 6]
+    y0 = scal_ref[i, 2]
+    x0 = scal_ref[i, 3]
+
+    a_y = _interp_matrix(ys_ref[0], h_l, y0, STRIP, r, out_size)
+    a_x = _interp_matrix(xs_ref[0], w_l, x0, STRIP_W, r, out_size)
+
+    data = strip[slot].astype(jnp.float32)           # (S, S, C)
+    t = jax.lax.dot_general(
+        a_y, data, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)          # (out, S, C)
+    o = jax.lax.dot_general(
+        a_x, t, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)          # (out_x, out_y, C)
+    o = o.transpose(1, 0, 2) * jnp.where(valid > 0, 1.0, 0.0)
+    out_ref[0] = o.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'strides', 'out_size', 'sampling_ratio', 'finest_scale', 'interpret'))
+def _roi_align_pallas_impl(feats, rois, roi_valid, strides, out_size,
+                           sampling_ratio, finest_scale, interpret):
+    num_levels = len(feats)
+    c = feats[0].shape[-1]
+    r = sampling_ratio
+    n_rois = rois.shape[0]
+
+    # Pad every level so a strip starting at the (8-aligned, rounded-UP)
+    # max start still fits — guarantees coverage of the right/bottom
+    # edges (samples clamp to W-1/H-1).
+    def _rup8(v):
+        return (v + 7) & ~7
+    padded = []
+    max_starts = []
+    for f in feats:
+        my = max(f.shape[1] - STRIP, 0)
+        mx = _rup8(max(f.shape[2] - STRIP_W, 0))
+        ph = max(0, my + STRIP - f.shape[1])
+        pw = max(0, mx + STRIP_W - f.shape[2])
+        if ph or pw:
+            f = jnp.pad(f, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        padded.append(f)
+        max_starts.append((my, mx))
+    true_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+
+    lvl = map_roi_levels(rois, num_levels, finest_scale)
+    # border semantics use the TRUE feature extent (mmcv clamps to H-1);
+    # the padded extent only bounds the strip DMA start.
+    h_arr = jnp.asarray([s[0] for s in true_shapes], jnp.int32)[lvl]
+    w_arr = jnp.asarray([s[1] for s in true_shapes], jnp.int32)[lvl]
+    my_arr = jnp.asarray([m[0] for m in max_starts], jnp.int32)[lvl]
+    mx_arr = jnp.asarray([m[1] for m in max_starts], jnp.int32)[lvl]
+    scale = 1.0 / jnp.asarray(strides, jnp.float32)[lvl]
+
+    x1 = rois[:, 1] * scale - 0.5
+    y1 = rois[:, 2] * scale - 0.5
+    x2 = rois[:, 3] * scale - 0.5
+    y2 = rois[:, 4] * scale - 0.5
+    bin_w = (x2 - x1) / out_size
+    bin_h = (y2 - y1) / out_size
+
+    steps = (np.arange(out_size)[None, :] +
+             (np.arange(r)[:, None] + 0.5) / r)       # (r, out)
+    ys = y1[:, None, None] + steps[None] * bin_h[:, None, None]
+    xs = x1[:, None, None] + steps[None] * bin_w[:, None, None]
+    # mark out-of-border samples (mmcv: y < -1 or y > H ⇒ contribute 0)
+    hf = h_arr.astype(jnp.float32)[:, None, None]
+    wf = w_arr.astype(jnp.float32)[:, None, None]
+    ys = jnp.where((ys >= -1.0) & (ys <= hf), ys, -2.0)
+    xs = jnp.where((xs >= -1.0) & (xs <= wf), xs, -2.0)
+
+    y0 = jnp.clip(jnp.floor(y1).astype(jnp.int32) - 1, 0, my_arr)
+    # x starts align DOWN to the 8-sublane HBM tile
+    x0 = jnp.clip((jnp.floor(x1).astype(jnp.int32) - 1) & ~7, 0, mx_arr)
+    batch = rois[:, 0].astype(jnp.int32)
+    valid = (jnp.ones((n_rois,), jnp.int32) if roi_valid is None
+             else roi_valid.astype(jnp.int32))
+    scalars = jnp.stack(
+        [lvl, batch, y0, x0, h_arr, w_arr, valid], axis=-1)  # (R, 7)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_rois,),
+        in_specs=(
+            [pl.BlockSpec((1, r, out_size), lambda i, s: (i, 0, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((1, r, out_size), lambda i, s: (i, 0, 0),
+                          memory_space=pltpu.VMEM)] +
+            [pl.BlockSpec(memory_space=pltpu.ANY)] * num_levels),
+        out_specs=pl.BlockSpec((1, out_size, out_size, c),
+                               lambda i, s: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, STRIP, STRIP_W, c), padded[0].dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ])
+    kernel = functools.partial(
+        _roi_align_kernel, num_levels=num_levels, out_size=out_size,
+        r=r, c=c)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_rois, out_size, out_size, c), feats[0].dtype),
+        interpret=interpret,
+    )(scalars, ys, xs, *padded)
+
+
+def multilevel_roi_align_pallas(feats: Sequence[jnp.ndarray],
+                                rois: jnp.ndarray,
+                                strides: Sequence[int],
+                                out_size: int,
+                                sampling_ratio: int = 2,
+                                finest_scale: int = 56,
+                                roi_valid: jnp.ndarray = None,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for multilevel_roi_align; differentiable (lax recompute
+    backward)."""
+    return _rap_vjp(tuple(feats), rois,
+                    roi_valid if roi_valid is not None else
+                    jnp.ones((rois.shape[0],), bool),
+                    tuple(strides), out_size, sampling_ratio,
+                    finest_scale, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _rap_vjp(feats, rois, roi_valid, strides, out_size, sampling_ratio,
+             finest_scale, interpret):
+    return _roi_align_pallas_impl(feats, rois, roi_valid, strides,
+                                  out_size, sampling_ratio, finest_scale,
+                                  interpret)
+
+
+def _rap_fwd(feats, rois, roi_valid, strides, out_size, sampling_ratio,
+             finest_scale, interpret):
+    out = _roi_align_pallas_impl(feats, rois, roi_valid, strides,
+                                 out_size, sampling_ratio, finest_scale,
+                                 interpret)
+    return out, (feats, rois, roi_valid)
+
+
+def _rap_bwd(strides, out_size, sampling_ratio, finest_scale, interpret,
+             res, g):
+    feats, rois, roi_valid = res
+    _, vjp = jax.vjp(
+        lambda f, rr: multilevel_roi_align(
+            list(f), rr, list(strides), out_size, sampling_ratio,
+            finest_scale, roi_valid),
+        feats, rois)
+    gf, gr = vjp(g)
+    return gf, gr, None
+
+
+_rap_vjp.defvjp(_rap_fwd, _rap_bwd)

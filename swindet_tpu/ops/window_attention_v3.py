@@ -1,0 +1,139 @@
+"""Window attention kernel v3 — zero host-side layout work.
+
+v1 (window_attention.py) needed XLA-side head-split transposes and
+batch/N padding around the kernel; profiling showed those pads/copies
+cost more than the attention itself. v3 moves ALL layout into the
+kernel: inputs are the raw (B_, N, C) q/k/v lane-slices of the packed
+qkv projection; heads are peeled with static lane slices inside the
+kernel (Mosaic supports lane slicing, not lane reshapes), and the
+window block size is chosen as a divisor of the per-image window count
+so no batch padding is needed.
+
+Reference behaviour: swin_transformer.py:73-153 (WindowAttention).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .window_attention import window_attention_reference
+
+
+def _pick_wblk(n_windows: int, num_heads: int, cap_product: int = 48
+               ) -> int:
+    """Largest divisor of n_windows with wblk*num_heads <= cap (VMEM)."""
+    cap = max(1, cap_product // num_heads)
+    for w in range(min(cap, n_windows), 0, -1):
+        if n_windows % w == 0:
+            return w
+    return 1
+
+
+def _wattn3_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
+                   nh: int, scale: float):
+    """One block of windows; heads peeled by static lane slices."""
+    wblk, n, c = q_ref.shape
+    hd = c // nh
+    mask = mask_ref[:]                       # (wblk, N, N) fp32
+    for h in range(nh):
+        sl = slice(h * hd, (h + 1) * hd)
+        q = q_ref[:, :, sl].astype(jnp.float32) * scale
+        k = k_ref[:, :, sl].astype(jnp.float32)
+        v = v_ref[:, :, sl]
+        attn = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # (wblk, N, N)
+        attn = attn + bias_ref[h][None] + mask
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jax.lax.dot_general(
+            attn.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out_ref[:, :, sl] = out.astype(out_ref.dtype)
+
+
+def window_attention_v3(qkv: jnp.ndarray, bias: jnp.ndarray,
+                        mask: Optional[jnp.ndarray], num_heads: int,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Differentiable fused window attention, zero-copy wrapper.
+
+    qkv:  (B_, N, 3C); B_ = batch * nW (window-major within image)
+    bias: (nH, N, N) fp32
+    mask: (nW, N, N) fp32 additive or None; nW must divide B_
+    """
+    n = qkv.shape[1]
+    if mask is None:
+        mask = jnp.zeros((1, n, n), jnp.float32)
+    return _wattn3_vjp(qkv, bias, jnp.asarray(mask, jnp.float32),
+                       num_heads, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _wattn3_vjp(qkv, bias, mask, num_heads, interpret):
+    return _wattn3_fwd_impl(qkv, bias, mask, num_heads, interpret)
+
+
+def _wattn3_vjp_fwd(qkv, bias, mask, num_heads, interpret):
+    return _wattn3_fwd_impl(qkv, bias, mask, num_heads, interpret), \
+        (qkv, bias, mask)
+
+
+def _wattn3_vjp_bwd(num_heads, interpret, res, g):
+    qkv, bias, mask = res
+    _, vjp = jax.vjp(
+        lambda a, b, m: window_attention_reference(a, b, m, num_heads),
+        qkv, bias, mask)
+    return vjp(g)
+
+
+_wattn3_vjp.defvjp(_wattn3_vjp_fwd, _wattn3_vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=('num_heads', 'interpret'))
+def _wattn3_fwd_impl(qkv, bias, mask, num_heads, interpret):
+    b_, n, c3 = qkv.shape
+    c = c3 // 3
+    nh = num_heads
+    hd = c // nh
+    scale = hd ** -0.5
+    nw = mask.shape[0]
+
+    # lane slices — fused views, no copies
+    q = qkv[:, :, :c]
+    k = qkv[:, :, c:2 * c]
+    v = qkv[:, :, 2 * c:]
+
+    wblk = _pick_wblk(nw if nw > 1 else b_, nh)
+    if b_ % wblk:
+        wblk = 1
+    nmb = nw // wblk if nw > 1 else 1
+
+    grid = (b_ // wblk,)
+    blk = lambda i: (i, 0, 0)
+    kernel = functools.partial(_wattn3_kernel, nh=nh, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b_, n, c), qkv.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((wblk, n, c), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wblk, n, c), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wblk, n, c), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, n, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wblk, n, n),
+                         lambda i: (i % nmb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wblk, n, c), blk,
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q, k, v, bias, mask if nw > 1 else jnp.broadcast_to(
+        mask, (wblk, n, n)))
+    return out

@@ -3,20 +3,24 @@ pjit/shard_map/pmean paths are exercised without TPU hardware (strictly
 better than the reference's mock-the-collectives strategy, SURVEY.md §4)."""
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-flags = os.environ.get('XLA_FLAGS', '')
-if '--xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ['JAX_PLATFORMS'] = 'cpu'  # force: shell may export axon
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
+# 8 virtual CPU devices for real pjit/collective tests (jax>=0.9 API;
+# the old --xla_force_host_platform_device_count XLA flag is ignored)
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices', 8)
+
 # Persistent compilation cache: repeat test runs skip XLA compiles.
 _CACHE = os.path.join(os.path.dirname(__file__), '..', '.jax_cache')
 jax.config.update('jax_compilation_cache_dir', os.path.abspath(_CACHE))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+# CPU tests must be numerically strict: the default matmul precision on
+# this platform is bf16-grade (~1e-2 error on fp32 inputs).
+jax.config.update('jax_default_matmul_precision', 'highest')
 
 
 @pytest.fixture

@@ -95,7 +95,7 @@ def demo_inputs(b=2, h=64, w=64, g=3, num_classes=4, with_mask=True,
     gt_valid = np.zeros((b, g), bool)
     gt_labels = np.zeros((b, g), np.int32)
     for i in range(b):
-        n = g - i  # vary #gts per image
+        n = max(g - i, 1)  # vary #gts per image
         cx = rs.rand(n) * w * 0.6 + w * 0.2
         cy = rs.rand(n) * h * 0.6 + h * 0.2
         bw = rs.rand(n) * w * 0.3 + 8

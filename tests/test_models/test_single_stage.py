@@ -1,0 +1,116 @@
+"""Forward tests for single-stage detectors (RetinaNet, RepPoints) and
+the ResNet backbone on tiny synthetic inputs."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from swindet_tpu.models import build_detector, ResNet
+
+from tests.test_models.test_forward import demo_inputs
+
+
+def tiny_retinanet_cfg():
+    return dict(
+        type='RetinaNet',
+        backbone=dict(type='ResNet', depth=18, base_channels=16,
+                      out_indices=(1, 2, 3)),
+        neck=dict(type='FPN', in_channels=[32, 64, 128], out_channels=16,
+                  start_level=0, add_extra_convs='on_input', num_outs=5),
+        bbox_head=dict(
+            type='RetinaHead', num_classes=4, in_channels=16,
+            feat_channels=16, stacked_convs=1,
+            anchor_generator=dict(type='AnchorGenerator',
+                                  octave_base_scale=4,
+                                  scales_per_octave=3,
+                                  ratios=[0.5, 1.0, 2.0],
+                                  strides=[8, 16, 32, 64, 128]),
+            bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                            target_means=[0., 0., 0., 0.],
+                            target_stds=[1., 1., 1., 1.]),
+            loss_cls=dict(type='FocalLoss', use_sigmoid=True, gamma=2.0,
+                          alpha=0.25, loss_weight=1.0),
+            loss_bbox=dict(type='L1Loss', loss_weight=1.0)),
+        train_cfg=dict(
+            assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.5,
+                          neg_iou_thr=0.4, min_pos_iou=0,
+                          match_low_quality=True, ignore_iof_thr=-1),
+            sampler=dict(type='PseudoSampler', num=64),
+            allowed_border=-1, pos_weight=-1),
+        test_cfg=dict(nms_pre=100, score_thr=0.05,
+                      nms=dict(type='nms', iou_threshold=0.5),
+                      max_per_img=16))
+
+
+def tiny_reppoints_cfg():
+    return dict(
+        type='RepPointsDetector',
+        backbone=dict(type='SwinTransformer', embed_dim=32,
+                      depths=[1, 1, 1, 1], num_heads=[1, 2, 4, 8],
+                      window_size=7, drop_path_rate=0.0),
+        neck=dict(type='FPN', in_channels=[32, 64, 128, 256],
+                  out_channels=32, start_level=1, add_extra_convs=
+                  'on_input', num_outs=5),
+        bbox_head=dict(
+            type='RepPointsHead', num_classes=4, in_channels=32,
+            feat_channels=32, point_feat_channels=32, stacked_convs=1,
+            num_points=9, gradient_mul=0.1,
+            point_strides=[8, 16, 32, 64, 128], point_base_scale=4,
+            transform_method='moment',
+            loss_cls=dict(type='FocalLoss', use_sigmoid=True, gamma=2.0,
+                          alpha=0.25, loss_weight=1.0)),
+        train_cfg=dict(
+            init=dict(assigner=dict(type='PointAssigner', scale=4,
+                                    pos_num=1),
+                      allowed_border=-1, pos_weight=-1),
+            refine=dict(assigner=dict(type='MaxIoUAssigner',
+                                      pos_iou_thr=0.5, neg_iou_thr=0.4,
+                                      min_pos_iou=0,
+                                      match_low_quality=True,
+                                      ignore_iof_thr=-1),
+                        allowed_border=-1, pos_weight=-1)),
+        test_cfg=dict(nms_pre=100, score_thr=0.05,
+                      nms=dict(type='nms', iou_threshold=0.5),
+                      max_per_img=16))
+
+
+def test_resnet_shapes(rng):
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    bb = ResNet(depth=18, base_channels=16)
+    v = bb.init(jax.random.PRNGKey(0), x)
+    outs = bb.apply(v, x)
+    assert len(outs) == 4
+    for i, o in enumerate(outs):
+        stride = 4 * 2 ** i
+        assert o.shape[1] == 64 // stride
+    # bottleneck variant
+    bb50 = ResNet(depth=50, base_channels=16)
+    v = bb50.init(jax.random.PRNGKey(0), x)
+    outs = bb50.apply(v, x)
+    assert outs[0].shape[-1] == 64  # 16 * expansion 4
+
+
+@pytest.mark.parametrize('cfg_fn', [tiny_retinanet_cfg,
+                                    tiny_reppoints_cfg])
+def test_single_stage_forward(cfg_fn):
+    model = build_detector(cfg_fn())
+    batch = demo_inputs(b=2, h=64, w=64, with_mask=False)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'], method='forward_dummy')
+    losses = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], method='forward_train',
+        rngs={'sampling': jax.random.PRNGKey(2),
+              'dropout': jax.random.PRNGKey(3)})
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f'{k} not finite'
+    assert float(losses['loss_cls']) > 0
+
+    out = model.apply(variables, batch['img'], batch['img_shapes'],
+                      jnp.ones((2, 4), jnp.float32),
+                      method='simple_test')
+    assert out['dets'].shape == (2, 16, 5)
+    assert np.all(np.isfinite(np.asarray(out['dets'])))

@@ -72,7 +72,11 @@ def main():
     meta = dict(env_info=env_info, config=cfg.pretty_text, seed=seed,
                 exp_name=osp.basename(args.config))
 
-    model = build_detector(dict(cfg.model))
+    model_cfg = dict(cfg.model)
+    if cfg.get('bf16'):
+        # bf16 compute policy replaces the reference's apex AMP O1
+        model_cfg['dtype'] = 'bfloat16'
+    model = build_detector(model_cfg)
     datasets = build_dataset(dict(cfg.data.train))
     if hasattr(datasets, 'CLASSES'):
         meta['CLASSES'] = datasets.CLASSES
