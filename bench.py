@@ -33,8 +33,7 @@ def main():
         iters, warmup = 5, 2
 
     cfg = _tiny_swin_t_cfg()
-    cfg['backbone']['dtype'] = dtype
-    cfg['neck']['dtype'] = dtype
+    cfg['dtype'] = dtype
     # full-scale proposal counts on TPU (match reference test_cfg)
     if on_tpu:
         cfg['test_cfg']['rpn'].update(nms_pre=1000, max_per_img=1000)

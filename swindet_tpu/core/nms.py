@@ -32,6 +32,18 @@ class NMSResult(NamedTuple):
     valid: jnp.ndarray   # (max_out,) bool
 
 
+def fast_topk(scores: jnp.ndarray, k: int):
+    """Candidate-pool top-k: TPU-optimized approx_max_k (recall ≈0.99,
+    only affects which low-scoring candidates enter NMS), exact
+    elsewhere or with SWINDET_EXACT_TOPK=1."""
+    import os
+    import jax
+    if (jax.default_backend() == 'tpu'
+            and not os.environ.get('SWINDET_EXACT_TOPK')):
+        return jax.lax.approx_max_k(scores, k, recall_target=0.99)
+    return jax.lax.top_k(scores, k)
+
+
 def _pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(M, 4) × (K, 4) → (M, K) IoU; degenerate boxes give 0."""
     area_a = jnp.clip(a[:, 2] - a[:, 0], 0) * jnp.clip(a[:, 3] - a[:, 1], 0)
@@ -208,7 +220,7 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
 
     flat_scores = jnp.where(cand_mask, scores, -jnp.inf).reshape(-1)
     cap = min(pre_nms_cap, flat_scores.shape[0])
-    top_scores, top_idx = jax.lax.top_k(flat_scores, cap)
+    top_scores, top_idx = fast_topk(flat_scores, cap)
     top_box_idx = top_idx // num_classes
     top_cls = (top_idx % num_classes).astype(jnp.int32)
     top_boxes = bboxes.reshape(-1, 4)[top_idx]

@@ -128,6 +128,31 @@ def shifted_window_attn_mask(hp: int, wp: int, ws: int,
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+class PatchifyDense(nn.Module):
+    """4×4/s4 patchify as space-to-depth + matmul (avoids the 42×
+    lane-padding of a C=3 conv on TPU). Param layout matches nn.Conv
+    (HWIO kernel + bias) so torch checkpoints convert unchanged."""
+    embed_dim: int
+    patch_size: int = 4
+    in_chans: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ps = self.patch_size
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (ps, ps, self.in_chans, self.embed_dim))
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.embed_dim,))
+        b, h, w, ci = x.shape
+        x = x.reshape(b, h // ps, ps, w // ps, ps, ci)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, h // ps, w // ps, ps * ps * ci)
+        y = jnp.dot(x.astype(self.dtype),
+                    kernel.reshape(-1, self.embed_dim).astype(self.dtype))
+        return y + bias.astype(self.dtype)
+
+
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias (reference: swin_transformer.py:73).
 
@@ -363,10 +388,12 @@ class SwinTransformer(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, (ps - h % ps) % ps),
                             (0, (ps - w % ps) % ps), (0, 0)))
 
-        # PatchEmbed (reference :405): 4×4 conv patchify + optional LN
-        x = nn.Conv(self.embed_dim, (ps, ps), strides=ps, padding='VALID',
-                    dtype=self.dtype,
-                    name='patch_embed.proj')(x.astype(self.dtype))
+        # PatchEmbed (reference :405): 4×4/s4 conv patchify == space-to-
+        # depth + matmul. The conv form keeps C=3 on lanes (padded 42×
+        # by TPU tiling); the matmul form reads the image once. Params
+        # stay conv-shaped (HWIO) for checkpoint compatibility.
+        x = PatchifyDense(embed_dim=self.embed_dim, patch_size=ps,
+                          dtype=self.dtype, name='patch_embed.proj')(x)
         if self.patch_norm:
             x = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype,
                                name='patch_embed.norm')(x)

@@ -207,7 +207,8 @@ class AnchorHead(nn.Module):
                 if 0 < nms_pre < s.shape[0]:
                     max_s = (s.max(-1) if self.use_sigmoid_cls
                              else s[:, :-1].max(-1))
-                    _, topk = jax.lax.top_k(max_s, nms_pre)
+                    from ...core.nms import fast_topk
+                    _, topk = fast_topk(max_s, nms_pre)
                     s, p, a = s[topk], p[topk], a[topk]
                 boxes = self._bbox_coder.decode(a, p, max_shape=img_shape)
                 mlvl_boxes.append(boxes)

@@ -66,7 +66,8 @@ class RPNHead(AnchorHead):
                                                     preds_lvls)):
                 score = jax.nn.sigmoid(score.astype(jnp.float32))
                 k = min(nms_pre, score.shape[0])
-                top_s, top_i = jax.lax.top_k(score, k)
+                from ...core.nms import fast_topk
+                top_s, top_i = fast_topk(score, k)
                 top_p = pred[top_i]
                 top_a = anchors[lvl][top_i]
                 boxes = self._bbox_coder.decode(top_a, top_p,

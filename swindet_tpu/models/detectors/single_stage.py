@@ -22,14 +22,21 @@ class SingleStageDetector(nn.Module):
     pretrained: Optional[str] = None
     dtype: Any = jnp.float32
 
+    def _with_dtype(self, cfg: dict) -> dict:
+        """Component dtype: explicit per-component setting wins over the
+        detector-level policy (a sub-dict 'dtype' was previously
+        clobbered, silently forcing fp32)."""
+        out = dict(cfg)
+        out.setdefault('dtype', self.dtype)
+        return out
+
     def setup(self):
-        self._backbone = build_backbone(dict(self.backbone,
-                                             dtype=self.dtype))
+        self._backbone = build_backbone(self._with_dtype(self.backbone))
         if self.neck is not None:
-            self._neck = build_neck(dict(self.neck, dtype=self.dtype))
-        self._bbox_head = build_head(dict(
+            self._neck = build_neck(self._with_dtype(self.neck))
+        self._bbox_head = build_head(self._with_dtype(dict(
             self.bbox_head, train_cfg=self.train_cfg,
-            test_cfg=self.test_cfg, dtype=self.dtype))
+            test_cfg=self.test_cfg)))
 
     def extract_feat(self, img: jnp.ndarray, train: bool = False):
         x = self._backbone(img, train=train)

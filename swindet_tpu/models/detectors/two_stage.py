@@ -29,23 +29,30 @@ class TwoStageDetector(nn.Module):
     pretrained: Optional[str] = None
     dtype: Any = jnp.float32
 
+    def _with_dtype(self, cfg: dict) -> dict:
+        """Component dtype: explicit per-component setting wins over the
+        detector-level policy (a sub-dict 'dtype' was previously
+        clobbered, silently forcing fp32)."""
+        out = dict(cfg)
+        out.setdefault('dtype', self.dtype)
+        return out
+
     def setup(self):
-        self._backbone = build_backbone(dict(self.backbone,
-                                             dtype=self.dtype))
+        self._backbone = build_backbone(self._with_dtype(self.backbone))
         if self.neck is not None:
-            self._neck = build_neck(dict(self.neck, dtype=self.dtype))
+            self._neck = build_neck(self._with_dtype(self.neck))
         if self.rpn_head is not None:
             train_cfg = dict(self.train_cfg)['rpn'] if self.train_cfg \
                 else None
-            self._rpn_head = build_head(dict(
+            self._rpn_head = build_head(self._with_dtype(dict(
                 self.rpn_head, train_cfg=train_cfg,
-                test_cfg=dict(self.test_cfg)['rpn'], dtype=self.dtype))
+                test_cfg=dict(self.test_cfg)['rpn'])))
         if self.roi_head is not None:
             rcnn_train = dict(self.train_cfg)['rcnn'] if self.train_cfg \
                 else None
-            self._roi_head = build_head(dict(
+            self._roi_head = build_head(self._with_dtype(dict(
                 self.roi_head, train_cfg=rcnn_train,
-                test_cfg=dict(self.test_cfg)['rcnn'], dtype=self.dtype))
+                test_cfg=dict(self.test_cfg)['rcnn'])))
 
     @property
     def with_mask(self):

@@ -177,9 +177,17 @@ class ConvModule(nn.Module):
 
 def resize_nearest(x: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
     """Nearest-neighbour resize of NHWC to (H, W) — matches torch
-    F.interpolate(mode='nearest') index arithmetic (floor of src index)."""
+    F.interpolate(mode='nearest') index arithmetic (floor of src index).
+
+    Integer upscale factors take the broadcast-reshape path (free to
+    fuse on TPU); the general case falls back to two row gathers."""
     b, h, w, c = x.shape
     nh, nw = shape
+    if nh % h == 0 and nw % w == 0:
+        fy, fx = nh // h, nw // w
+        x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                             (b, h, fy, w, fx, c))
+        return x.reshape(b, nh, nw, c)
     rows = (jnp.arange(nh) * (h / nh)).astype(jnp.int32)
     cols = (jnp.arange(nw) * (w / nw)).astype(jnp.int32)
     return x[:, rows][:, :, cols]

@@ -33,6 +33,8 @@ from .roi_align import map_roi_levels, multilevel_roi_align
 
 STRIP = 64       # rows (leading dim — no alignment constraint)
 STRIP_W = 56     # cols (sublane-tiled in HBM: starts must be 8-aligned)
+SMALL_H = 32     # small-strip pass (most rois: level routing keeps
+SMALL_W = 40     # them at 14-28 cells; 3x fewer DMA bytes)
 
 
 def _interp_matrix(coords, n_pix, origin, s, r, out_size):
@@ -62,7 +64,8 @@ def _interp_matrix(coords, n_pix, origin, s, r, out_size):
 
 
 def _roi_align_kernel(scal_ref, ys_ref, xs_ref, *refs,
-                      num_levels: int, out_size: int, r: int, c: int):
+                      num_levels: int, out_size: int, r: int, c: int,
+                      sh: int, sw: int):
     feat_refs = refs[:num_levels]
     out_ref = refs[num_levels]
     strip, sem = refs[num_levels + 1], refs[num_levels + 2]
@@ -70,33 +73,34 @@ def _roi_align_kernel(scal_ref, ys_ref, xs_ref, *refs,
     n_rois = pl.num_programs(0)
     i = pl.program_id(0)
 
-    def start_dma(slot, roi):
+    def dma(slot, roi):
         lvl = scal_ref[roi, 0]
         b = scal_ref[roi, 1]
         y0 = scal_ref[roi, 2]
         x0 = scal_ref[roi, 3]
+        branches = []
         for l in range(num_levels):
-            @pl.when(lvl == l)
+            branches.append(pltpu.make_async_copy(
+                feat_refs[l].at[b, pl.ds(y0, sh),
+                                pl.ds(pl.multiple_of(x0, 8), sw), :],
+                strip.at[slot], sem.at[slot]))
+        return lvl, branches
+
+    def start_dma(slot, roi):
+        take = scal_ref[roi, 7]
+        lvl, branches = dma(slot, roi)
+        for l, cp in enumerate(branches):
+            @pl.when((lvl == l) & (take > 0))
             def _():
-                pltpu.make_async_copy(
-                    feat_refs[l].at[b, pl.ds(y0, STRIP),
-                                    pl.ds(pl.multiple_of(x0, 8),
-                                          STRIP_W), :],
-                    strip.at[slot], sem.at[slot]).start()
+                cp.start()
 
     def wait_dma(slot, roi):
-        lvl = scal_ref[roi, 0]
-        b = scal_ref[roi, 1]
-        y0 = scal_ref[roi, 2]
-        x0 = scal_ref[roi, 3]
-        for l in range(num_levels):
-            @pl.when(lvl == l)
+        take = scal_ref[roi, 7]
+        lvl, branches = dma(slot, roi)
+        for l, cp in enumerate(branches):
+            @pl.when((lvl == l) & (take > 0))
             def _():
-                pltpu.make_async_copy(
-                    feat_refs[l].at[b, pl.ds(y0, STRIP),
-                                    pl.ds(pl.multiple_of(x0, 8),
-                                          STRIP_W), :],
-                    strip.at[slot], sem.at[slot]).wait()
+                cp.wait()
 
     slot = jax.lax.rem(i, 2)
     nslot = jax.lax.rem(i + 1, 2)
@@ -111,14 +115,28 @@ def _roi_align_kernel(scal_ref, ys_ref, xs_ref, *refs,
 
     wait_dma(slot, i)
 
+    take_i = scal_ref[i, 7]
+
+    @pl.when(take_i == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    @pl.when(take_i > 0)
+    def _():
+        _compute(scal_ref, ys_ref, xs_ref, out_ref, strip, slot, i,
+                 r, out_size, sh, sw)
+
+
+def _compute(scal_ref, ys_ref, xs_ref, out_ref, strip, slot, i, r,
+             out_size, sh, sw):
     h_l = scal_ref[i, 4].astype(jnp.float32)
     w_l = scal_ref[i, 5].astype(jnp.float32)
     valid = scal_ref[i, 6]
     y0 = scal_ref[i, 2]
     x0 = scal_ref[i, 3]
 
-    a_y = _interp_matrix(ys_ref[0], h_l, y0, STRIP, r, out_size)
-    a_x = _interp_matrix(xs_ref[0], w_l, x0, STRIP_W, r, out_size)
+    a_y = _interp_matrix(ys_ref[0], h_l, y0, sh, r, out_size)
+    a_x = _interp_matrix(xs_ref[0], w_l, x0, sw, r, out_size)
 
     data = strip[slot].astype(jnp.float32)           # (S, S, C)
     t = jax.lax.dot_general(
@@ -186,41 +204,57 @@ def _roi_align_pallas_impl(feats, rois, roi_valid, strides, out_size,
     ys = jnp.where((ys >= -1.0) & (ys <= hf), ys, -2.0)
     xs = jnp.where((xs >= -1.0) & (xs <= wf), xs, -2.0)
 
-    y0 = jnp.clip(jnp.floor(y1).astype(jnp.int32) - 1, 0, my_arr)
-    # x starts align DOWN to the 8-sublane HBM tile
-    x0 = jnp.clip((jnp.floor(x1).astype(jnp.int32) - 1) & ~7, 0, mx_arr)
     batch = rois[:, 0].astype(jnp.int32)
     valid = (jnp.ones((n_rois,), jnp.int32) if roi_valid is None
              else roi_valid.astype(jnp.int32))
-    scalars = jnp.stack(
-        [lvl, batch, y0, x0, h_arr, w_arr, valid], axis=-1)  # (R, 7)
+    ext_y = jnp.ceil(y2) - jnp.floor(y1) + 2.0
+    ext_x = jnp.ceil(x2) - jnp.floor(x1) + 2.0
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_rois,),
-        in_specs=(
-            [pl.BlockSpec((1, r, out_size), lambda i, s: (i, 0, 0),
-                          memory_space=pltpu.VMEM),
-             pl.BlockSpec((1, r, out_size), lambda i, s: (i, 0, 0),
-                          memory_space=pltpu.VMEM)] +
-            [pl.BlockSpec(memory_space=pltpu.ANY)] * num_levels),
-        out_specs=pl.BlockSpec((1, out_size, out_size, c),
-                               lambda i, s: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, STRIP, STRIP_W, c), padded[0].dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ])
-    kernel = functools.partial(
-        _roi_align_kernel, num_levels=num_levels, out_size=out_size,
-        r=r, c=c)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_rois, out_size, out_size, c), feats[0].dtype),
-        interpret=interpret,
-    )(scalars, ys, xs, *padded)
+    def one_pass(sh, sw, take):
+        # per-pass max starts (same padded arrays cover both strip
+        # sizes: rup8(W-sw)+sw == rup8(W) for 8-aligned sw)
+        my = jnp.asarray([max(t[0] - sh, 0) for t in true_shapes],
+                         jnp.int32)[lvl]
+        mx = jnp.asarray([((max(t[1] - sw, 0) + 7) & ~7)
+                          for t in true_shapes], jnp.int32)[lvl]
+        y0 = jnp.clip(jnp.floor(y1).astype(jnp.int32) - 1, 0, my)
+        x0 = jnp.clip((jnp.floor(x1).astype(jnp.int32) - 1) & ~7, 0, mx)
+        scalars = jnp.stack(
+            [lvl, batch, y0, x0, h_arr, w_arr, valid,
+             take.astype(jnp.int32)], axis=-1)       # (R, 8)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_rois,),
+            in_specs=(
+                [pl.BlockSpec((1, r, out_size), lambda i, s: (i, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, r, out_size), lambda i, s: (i, 0, 0),
+                              memory_space=pltpu.VMEM)] +
+                [pl.BlockSpec(memory_space=pltpu.ANY)] * num_levels),
+            out_specs=pl.BlockSpec((1, out_size, out_size, c),
+                                   lambda i, s: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, sh, sw, c), padded[0].dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ])
+        kernel = functools.partial(
+            _roi_align_kernel, num_levels=num_levels,
+            out_size=out_size, r=r, c=c, sh=sh, sw=sw)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_rois, out_size, out_size, c), feats[0].dtype),
+            interpret=interpret,
+        )(scalars, ys, xs, *padded)
+
+    # small strips for the common case (levels sized so rois are
+    # 14–28 cells); large strips only for the oversize tail
+    small = (ext_y <= SMALL_H - 2) & (ext_x <= SMALL_W - 9)
+    out_s = one_pass(SMALL_H, SMALL_W, small)
+    out_b = one_pass(STRIP, STRIP_W, ~small)
+    return out_s + out_b
 
 
 def multilevel_roi_align_pallas(feats: Sequence[jnp.ndarray],

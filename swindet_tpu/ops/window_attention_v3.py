@@ -35,17 +35,18 @@ def _pick_wblk(n_windows: int, num_heads: int, cap_product: int = 48
     return 1
 
 
-def _wattn3_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
+def _wattn3_kernel(qkv_ref, bias_ref, mask_ref, out_ref, *,
                    nh: int, scale: float):
-    """One block of windows; heads peeled by static lane slices."""
-    wblk, n, c = q_ref.shape
+    """One block of windows; q/k/v and heads peeled by static lane
+    slices INSIDE the kernel (XLA-side slices materialize copies)."""
+    wblk, n, c3 = qkv_ref.shape
+    c = c3 // 3
     hd = c // nh
     mask = mask_ref[:]                       # (wblk, N, N) fp32
     for h in range(nh):
-        sl = slice(h * hd, (h + 1) * hd)
-        q = q_ref[:, :, sl].astype(jnp.float32) * scale
-        k = k_ref[:, :, sl].astype(jnp.float32)
-        v = v_ref[:, :, sl]
+        q = qkv_ref[:, :, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
+        k = qkv_ref[:, :, c + h * hd:c + (h + 1) * hd].astype(jnp.float32)
+        v = qkv_ref[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
         attn = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)          # (wblk, N, N)
@@ -55,7 +56,7 @@ def _wattn3_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
             attn.astype(v.dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        out_ref[:, :, sl] = out.astype(out_ref.dtype)
+        out_ref[:, :, h * hd:(h + 1) * hd] = out.astype(out_ref.dtype)
 
 
 def window_attention_v3(qkv: jnp.ndarray, bias: jnp.ndarray,
@@ -104,11 +105,6 @@ def _wattn3_fwd_impl(qkv, bias, mask, num_heads, interpret):
     scale = hd ** -0.5
     nw = mask.shape[0]
 
-    # lane slices — fused views, no copies
-    q = qkv[:, :, :c]
-    k = qkv[:, :, c:2 * c]
-    v = qkv[:, :, 2 * c:]
-
     wblk = _pick_wblk(nw if nw > 1 else b_, nh)
     if b_ % wblk:
         wblk = 1
@@ -122,9 +118,7 @@ def _wattn3_fwd_impl(qkv, bias, mask, num_heads, interpret):
         out_shape=jax.ShapeDtypeStruct((b_, n, c), qkv.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((wblk, n, c), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((wblk, n, c), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((wblk, n, c), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wblk, n, c3), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((nh, n, n), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((wblk, n, n),
@@ -134,6 +128,6 @@ def _wattn3_fwd_impl(qkv, bias, mask, num_heads, interpret):
         out_specs=pl.BlockSpec((wblk, n, c), blk,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(q, k, v, bias, mask if nw > 1 else jnp.broadcast_to(
+    )(qkv, bias, mask if nw > 1 else jnp.broadcast_to(
         mask, (wblk, n, n)))
     return out
