@@ -25,15 +25,28 @@ class RPNHead(AnchorHead):
     IS_RPN = True
 
     def _init_layers(self):
-        self.rpn_conv = nn.Conv(self.feat_channels, (3, 3), padding=1,
-                                dtype=self.dtype, name='rpn_conv')
+        from ..layers import _Conv3x3Pallas
+        import jax as _jax
+        if (_jax.default_backend() == 'tpu'
+                and self.in_channels % 128 == 0
+                and self.feat_channels % 128 == 0):
+            self.rpn_conv = _Conv3x3Pallas(
+                out_channels=self.feat_channels, relu=True,
+                dtype=self.dtype, name='rpn_conv')
+            self._rpn_conv_fused_relu = True
+        else:
+            self.rpn_conv = nn.Conv(self.feat_channels, (3, 3), padding=1,
+                                    dtype=self.dtype, name='rpn_conv')
+            self._rpn_conv_fused_relu = False
         self.rpn_cls = nn.Conv(self.num_base_priors * self.cls_out_channels,
                                (1, 1), dtype=self.dtype, name='rpn_cls')
         self.rpn_reg = nn.Conv(self.num_base_priors * 4, (1, 1),
                                dtype=self.dtype, name='rpn_reg')
 
     def forward_single(self, x, train: bool = False):
-        x = nn.relu(self.rpn_conv(x))
+        x = self.rpn_conv(x)
+        if not self._rpn_conv_fused_relu:
+            x = nn.relu(x)
         return self.rpn_cls(x), self.rpn_reg(x)
 
     def loss(self, rng, cls_scores, bbox_preds, gt_bboxes, gt_valid,

@@ -136,6 +136,24 @@ _ACTS = {
 }
 
 
+class _Conv3x3Pallas(nn.Module):
+    """3x3/s1 conv via the Pallas kernel; param layout matches nn.Conv
+    ({'kernel','bias'}) so checkpoints convert unchanged."""
+    out_channels: int
+    relu: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.conv3x3 import conv3x3
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.out_channels))
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.out_channels,))
+        return conv3x3(x.astype(self.dtype), kernel.astype(self.dtype),
+                       bias, self.relu)
+
+
 class ConvModule(nn.Module):
     """conv (+ optional norm) (+ optional act), NHWC
     (reference: mmcv.cnn ConvModule — used by FPN, convfc heads, mask heads).
@@ -162,6 +180,21 @@ class ConvModule(nn.Module):
             padding = self.padding
         else:
             padding = [(self.padding, self.padding)] * 2
+
+        # Pallas fast path: plain 3x3/s1 conv (+bias [+ReLU]) — XLA's
+        # layout assignment runs these at ~16% MXU in this model
+        # (see ops/conv3x3.py); kernel needs lane-multiple channels.
+        act_type = (self.act_cfg or {}).get('type')
+        if (jax.default_backend() == 'tpu' and ks == (3, 3)
+                and self.stride == 1 and self.dilation == 1
+                and self.groups == 1 and self.padding == 1
+                and self.norm_cfg is None and use_bias
+                and x.shape[-1] % 128 == 0
+                and self.out_channels % 128 == 0
+                and act_type in (None, 'ReLU')):
+            return _Conv3x3Pallas(out_channels=self.out_channels,
+                                  relu=(act_type == 'ReLU'),
+                                  dtype=self.dtype, name='conv')(x)
         x = nn.Conv(self.out_channels, ks, strides=self.stride,
                     padding=padding,
                     kernel_dilation=self.dilation,

@@ -94,4 +94,11 @@ class FPN(nn.Module):
                         act_cfg=self.act_cfg, dtype=self.dtype,
                         name=f'fpn_convs{i}')(extra_src, train=train)
                     outs.append(extra_src)
+        # Layout fence: downstream Pallas custom calls (RoIAlign) force
+        # row-major operand layouts; without the barrier XLA propagates
+        # that constraint into the FPN/RPN convs, which then run in a
+        # transposed layout at ~5x the time. The barrier decouples the
+        # conv layouts and inserts one cheap copy instead.
+        import jax
+        outs = jax.lax.optimization_barrier(tuple(outs))
         return tuple(outs)

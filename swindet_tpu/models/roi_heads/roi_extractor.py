@@ -40,10 +40,12 @@ class SingleRoIExtractor:
         """feats: per-level NHWC; rois: (R, 5) with batch col.
         Returns (R, out, out, C)."""
         import jax
+        import os
         # Pallas strip kernel needs lane-collapsible channels (Mosaic
         # folds (S, C) for the MXU only when C is a lane multiple)
         if jax.default_backend() == 'tpu' and \
-                feats[0].shape[-1] % 128 == 0:
+                feats[0].shape[-1] % 128 == 0 and \
+                not os.environ.get('SWINDET_NO_PALLAS_ROI'):
             from ...ops.roi_align_pallas import multilevel_roi_align_pallas
             return multilevel_roi_align_pallas(
                 list(feats)[:self.num_inputs], rois,
