@@ -142,11 +142,13 @@ def preprocess_images(imgs: Sequence[Union[str, np.ndarray]],
     scale_factors = np.ones((b, 4), np.float32)
     metas = []
     for i, r in enumerate(processed):
+        meta = r.get('img_metas', r)  # Collect nests metas
         h, w = r['img'].shape[:2]
         img_batch[i, :h, :w] = r['img']
         img_shapes[i] = (h, w)
-        scale_factors[i] = r.get('scale_factor', np.ones(4, np.float32))
-        metas.append(dict(ori_shape=r['ori_shape'],
+        scale_factors[i] = meta.get('scale_factor',
+                                    np.ones(4, np.float32))
+        metas.append(dict(ori_shape=meta['ori_shape'],
                           img_shape=(h, w),
                           scale_factor=scale_factors[i]))
     return dict(img=jnp.asarray(img_batch),

@@ -3,6 +3,7 @@ from .builder import (DetDataLoader, GroupBatchSampler, build_dataloader,
                       build_dataset, collate_detection)
 from .custom import CustomDataset
 from .coco import CocoDataset
+from .xml_style import VOCDataset, XMLDataset
 from .dataset_wrappers import (ClassBalancedDataset, ConcatDataset,
                                RepeatDataset)
 from . import pipelines
@@ -10,6 +11,7 @@ from . import pipelines
 __all__ = [
     'DATASETS', 'PIPELINES', 'DetDataLoader', 'GroupBatchSampler',
     'build_dataloader', 'build_dataset', 'collate_detection',
-    'CustomDataset', 'CocoDataset', 'ClassBalancedDataset',
+    'CustomDataset', 'CocoDataset', 'VOCDataset', 'XMLDataset',
+    'ClassBalancedDataset',
     'ConcatDataset', 'RepeatDataset', 'pipelines',
 ]

@@ -55,7 +55,15 @@ def conv3x3_fwd(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     """x (B, H, W, C), w (3, 3, C, Co), b (Co,). H must divide rows."""
     bs, h, wd, c = x.shape
     co = w.shape[3]
-    while h % rows:
+    item = x.dtype.itemsize
+
+    def vmem_est(r):
+        # double-buffered in/out blocks + in-kernel padded copy + fp32 acc
+        return (2 * r * wd * c * item + 2 * r * wd * co * item
+                + (r + 2) * (wd + 2) * c * item + r * wd * co * 4
+                + 9 * c * co * item)
+
+    while rows > 1 and (h % rows or vmem_est(rows) > 12 * 2 ** 20):
         rows //= 2
     nb = h // rows
     grid = (nb, bs)
