@@ -15,7 +15,7 @@ def test_conv3x3_matches_lax(rng, h, w_, relu):
     ref = conv3x3_reference(x, w, b, relu)
     out = conv3x3(x, w, b, relu, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-5, atol=1e-5)
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_conv3x3_grad(rng):
