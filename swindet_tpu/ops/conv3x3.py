@@ -55,15 +55,14 @@ def conv3x3_fwd(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     """x (B, H, W, C), w (3, 3, C, Co), b (Co,). H must divide rows."""
     bs, h, wd, c = x.shape
     co = w.shape[3]
-    item = x.dtype.itemsize
-
-    def vmem_est(r):
-        # double-buffered in/out blocks + in-kernel padded copy + fp32 acc
-        return (2 * r * wd * c * item + 2 * r * wd * co * item
-                + (r + 2) * (wd + 2) * c * item + r * wd * co * 4
-                + 9 * c * co * item)
-
-    while rows > 1 and (h % rows or vmem_est(rows) > 12 * 2 ** 20):
+    # Row-block size vs the 16MB VMEM budget (double-buffered blocks +
+    # in-kernel padded copy + fp32 accumulator): 8 rows fits bf16 at
+    # detection shapes (empirically ~14MB at W=336, C=256); fp32 needs 2.
+    if x.dtype.itemsize >= 4:
+        rows = min(rows, 2)
+    if wd * c > 336 * 256:
+        rows = min(rows, 4 if x.dtype.itemsize == 2 else 1)
+    while rows > 1 and h % rows:
         rows //= 2
     nb = h // rows
     grid = (nb, bs)
@@ -98,9 +97,11 @@ def conv3x3_fwd(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
 
 
 def conv3x3_reference(x, w, b, relu=False):
+    # fp32 operands: mixed-dtype transpose rules break the VJP when only
+    # preferred_element_type upcasts (cotangent fp32 vs bf16 kernel)
     out = jax.lax.conv_general_dilated(
-        x, w, (1, 1), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        preferred_element_type=jnp.float32)
+        x.astype(jnp.float32), w.astype(jnp.float32), (1, 1), 'SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
     out = out + b.astype(jnp.float32)[None, None, None]
     if relu:
         out = jnp.maximum(out, 0.0)

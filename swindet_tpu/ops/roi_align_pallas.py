@@ -293,10 +293,11 @@ def _rap_fwd(feats, rois, roi_valid, strides, out_size, sampling_ratio,
 def _rap_bwd(strides, out_size, sampling_ratio, finest_scale, interpret,
              res, g):
     feats, rois, roi_valid = res
+    out_dtype = feats[0].dtype  # XLA spec promotes to fp32; match pallas
     _, vjp = jax.vjp(
         lambda f, rr: multilevel_roi_align(
             list(f), rr, list(strides), out_size, sampling_ratio,
-            finest_scale, roi_valid),
+            finest_scale, roi_valid).astype(out_dtype),
         feats, rois)
     gf, gr = vjp(g)
     return gf, gr, None

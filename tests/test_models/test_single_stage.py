@@ -151,3 +151,16 @@ def test_fcos_forward():
     out = model.apply(variables, batch['img'], batch['img_shapes'],
                       jnp.ones((2, 4), jnp.float32), method='simple_test')
     assert out['dets'].shape == (2, 16, 5)
+
+
+def test_pafpn_shapes(rng):
+    from swindet_tpu.models.necks import PAFPN
+    ins = [jnp.asarray(rng.randn(1, 64 // s, 64 // s, c).astype(np.float32))
+           for s, c in [(4, 32), (8, 64), (16, 128), (32, 256)]]
+    neck = PAFPN(in_channels=[32, 64, 128, 256], out_channels=16,
+                 num_outs=5)
+    v = neck.init(jax.random.PRNGKey(0), ins)
+    outs = neck.apply(v, ins)
+    assert len(outs) == 5
+    for i, o in enumerate(outs[:4]):
+        assert o.shape == (1, 64 // (4 * 2 ** i), 64 // (4 * 2 ** i), 16)
