@@ -266,12 +266,23 @@ def multilevel_roi_align_pallas(feats: Sequence[jnp.ndarray],
                                 roi_valid: jnp.ndarray = None,
                                 interpret: bool = False) -> jnp.ndarray:
     """Drop-in for multilevel_roi_align; differentiable (lax recompute
-    backward)."""
-    return _rap_vjp(tuple(feats), rois,
-                    roi_valid if roi_valid is not None else
-                    jnp.ones((rois.shape[0],), bool),
-                    tuple(strides), out_size, sampling_ratio,
-                    finest_scale, interpret)
+    backward). Chunks the kernel at 1024 rois — the scalar-prefetch
+    array must fit the 1MB SMEM budget."""
+    if roi_valid is None:
+        roi_valid = jnp.ones((rois.shape[0],), bool)
+    n = rois.shape[0]
+    chunk = 1024
+    if n <= chunk:
+        return _rap_vjp(tuple(feats), rois, roi_valid, tuple(strides),
+                        out_size, sampling_ratio, finest_scale,
+                        interpret)
+    outs = []
+    for s0 in range(0, n, chunk):
+        outs.append(_rap_vjp(tuple(feats), rois[s0:s0 + chunk],
+                             roi_valid[s0:s0 + chunk], tuple(strides),
+                             out_size, sampling_ratio, finest_scale,
+                             interpret))
+    return jnp.concatenate(outs, axis=0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
