@@ -145,11 +145,11 @@ class PatchifyDense(nn.Module):
         bias = self.param('bias', nn.initializers.zeros,
                           (self.embed_dim,))
         b, h, w, ci = x.shape
+        x = x.astype(self.dtype)  # cast before the reshape: halves bytes
         x = x.reshape(b, h // ps, ps, w // ps, ps, ci)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
             b, h // ps, w // ps, ps * ps * ci)
-        y = jnp.dot(x.astype(self.dtype),
-                    kernel.reshape(-1, self.embed_dim).astype(self.dtype))
+        y = jnp.dot(x, kernel.reshape(-1, self.embed_dim).astype(self.dtype))
         return y + bias.astype(self.dtype)
 
 
