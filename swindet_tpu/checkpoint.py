@@ -130,10 +130,20 @@ def convert_torch_state_dict(
         name = path[-1]
         try:
             if name == 'kernel' and src.ndim == 4 and len(tgt_shape) == 4:
-                if tgt_shape[2] == src.shape[0] and \
-                        tgt_shape[3] == src.shape[1]:
-                    # ConvTranspose: torch (in, out, kh, kw) → flax
-                    # (kh, kw, in, out), spatial flip
+                # ConvTranspose (torch (in,out,kh,kw)) vs Conv (OIHW) is
+                # shape-ambiguous when in==out, so decide by module name:
+                # every deconv in the surface is called 'upsample'
+                # (reference fcn_mask_head.py:46 build_upsample_layer).
+                is_deconv = any('upsample' in p for p in path)
+                if not is_deconv and not (
+                        tgt_shape[2] == src.shape[1]
+                        and tgt_shape[3] == src.shape[0]):
+                    # shapes only fit the deconv interpretation
+                    is_deconv = (tgt_shape[2] == src.shape[0]
+                                 and tgt_shape[3] == src.shape[1])
+                if is_deconv:
+                    # torch (in, out, kh, kw) → flax (kh, kw, in, out),
+                    # spatial flip
                     src = src.transpose(2, 3, 0, 1)[::-1, ::-1]
                 else:
                     # Conv: OIHW → HWIO
@@ -154,8 +164,8 @@ def convert_torch_state_dict(
                     s = int(np.sqrt(L))
                     src = src.reshape(1, s, s, c)
                 if src.shape != tgt_shape:
-                    src = np.asarray(jax.image.resize(
-                        jnp.asarray(src), tgt_shape, 'bicubic'))
+                    from .ops.interpolate import torch_bicubic_resize
+                    src = torch_bicubic_resize(src, tgt_shape[1:3])
             elif name == 'relative_position_bias_table':
                 if src.shape[0] != tgt_shape[0]:
                     src = _interp_bias_table(src, tgt_shape[0],

@@ -404,8 +404,9 @@ class SwinTransformer(nn.Module):
             ape = self.param('absolute_pos_embed', trunc_normal_init(),
                              (1, pe_hw, pe_hw, self.embed_dim))
             if (pe_hw, pe_hw) != (wh, ww):
-                ape = jax.image.resize(ape, (1, wh, ww, self.embed_dim),
-                                       method='bicubic')
+                # torch-exact bicubic (reference swin_transformer.py:607)
+                from ...ops.interpolate import torch_bicubic_resize
+                ape = torch_bicubic_resize(ape, (wh, ww))
             x = x + ape.astype(self.dtype)
         if self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
