@@ -144,13 +144,16 @@ def paste_masks(mask_probs: np.ndarray, boxes: np.ndarray,
     out = np.zeros((n, img_h, img_w), bool)
     for i in range(n):
         x1, y1, x2, y2 = boxes[i]
-        w = max(x2 - x1, 1e-2)
-        h = max(y2 - y1, 1e-2)
-        # integer paste window clipped to the image
-        ix1 = max(int(np.floor(x1)), 0)
-        iy1 = max(int(np.floor(y1)), 0)
-        ix2 = min(int(np.ceil(x2)), img_w)
-        iy2 = min(int(np.ceil(y2)), img_h)
+        w = x2 - x1
+        h = y2 - y1
+        if w <= 0 or h <= 0:
+            continue
+        # integer paste window, 1px slack each side (reference:
+        # fcn_mask_head.py:336-342 skip_empty box)
+        ix1 = max(int(np.floor(x1)) - 1, 0)
+        iy1 = max(int(np.floor(y1)) - 1, 0)
+        ix2 = min(int(np.ceil(x2)) + 1, img_w)
+        iy2 = min(int(np.ceil(y2)) + 1, img_h)
         if ix2 <= ix1 or iy2 <= iy1:
             continue
         # sample the s×s mask at each target pixel centre
@@ -163,21 +166,25 @@ def paste_masks(mask_probs: np.ndarray, boxes: np.ndarray,
 
 def _bilinear_2d(img: np.ndarray, ys: np.ndarray,
                  xs: np.ndarray) -> np.ndarray:
-    """Sample img at the outer product of ys, xs with edge clamping
-    (grid_sample align_corners=False, border padding)."""
+    """Sample img at the outer product of ys, xs — grid_sample
+    align_corners=False semantics with ZERO padding (out-of-range taps
+    contribute 0), matching the reference's F.grid_sample default."""
     h, w = img.shape
-    y0 = np.clip(np.floor(ys), 0, h - 1).astype(int)
-    x0 = np.clip(np.floor(xs), 0, w - 1).astype(int)
-    y1 = np.clip(y0 + 1, 0, h - 1)
-    x1 = np.clip(x0 + 1, 0, w - 1)
-    wy = np.clip(ys, 0, h - 1) - y0
-    wx = np.clip(xs, 0, w - 1) - x0
-    v00 = img[np.ix_(y0, x0)]
-    v01 = img[np.ix_(y0, x1)]
-    v10 = img[np.ix_(y1, x0)]
-    v11 = img[np.ix_(y1, x1)]
-    return (v00 * np.outer(1 - wy, 1 - wx) + v01 * np.outer(1 - wy, wx) +
-            v10 * np.outer(wy, 1 - wx) + v11 * np.outer(wy, wx))
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    wy = ys - y0
+    wx = xs - x0
+
+    def tap(yy, xx):
+        yv = (yy >= 0) & (yy < h)
+        xv = (xx >= 0) & (xx < w)
+        v = img[np.ix_(np.clip(yy, 0, h - 1), np.clip(xx, 0, w - 1))]
+        return v * np.outer(yv, xv)
+
+    return (tap(y0, x0) * np.outer(1 - wy, 1 - wx) +
+            tap(y0, x0 + 1) * np.outer(1 - wy, wx) +
+            tap(y0 + 1, x0) * np.outer(wy, 1 - wx) +
+            tap(y0 + 1, x0 + 1) * np.outer(wy, wx))
 
 
 def encode_mask_results(mask_results: List[List[np.ndarray]]) -> List[List]:

@@ -33,13 +33,15 @@ class NMSResult(NamedTuple):
 
 
 def fast_topk(scores: jnp.ndarray, k: int):
-    """Candidate-pool top-k: TPU-optimized approx_max_k (recall ≈0.99,
-    only affects which low-scoring candidates enter NMS), exact
-    elsewhere or with SWINDET_EXACT_TOPK=1."""
+    """Candidate-pool top-k. Exact by default (eval numerics must match
+    the reference's sort-based selection); set SWINDET_APPROX_TOPK=1 to
+    opt into TPU approx_max_k (recall ≈0.99 — only affects which
+    low-scoring candidates enter NMS; fine for training-time proposals,
+    unproven for mAP parity)."""
     import os
     import jax
     if (jax.default_backend() == 'tpu'
-            and not os.environ.get('SWINDET_EXACT_TOPK')):
+            and os.environ.get('SWINDET_APPROX_TOPK')):
         return jax.lax.approx_max_k(scores, k, recall_target=0.99)
     return jax.lax.top_k(scores, k)
 

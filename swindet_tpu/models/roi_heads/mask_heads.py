@@ -77,7 +77,7 @@ class FCNMaskHead(nn.Module):
             [pos_gt_inds[:, None].astype(jnp.float32), pos_boxes], axis=-1)
         feats = gt_masks.astype(jnp.float32)[..., None]   # (G, H, W, 1)
         crops = roi_align_single(feats, rois, 1.0, mask_size,
-                                 sampling_ratio=2)
+                                 sampling_ratio=0)
         return (crops[..., 0] >= 0.5).astype(jnp.float32)
 
     # ---------------------------------------------------------------- loss

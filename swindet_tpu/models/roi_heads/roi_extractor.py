@@ -23,10 +23,9 @@ class SingleRoIExtractor:
                  finest_scale: int = 56, **kwargs):
         assert roi_layer.get('type', 'RoIAlign') == 'RoIAlign'
         self.out_size = roi_layer['output_size']
-        # sampling_ratio=0 (adaptive) is data-dependent; use the fixed
-        # detectron2-style grid of 2 (see ops/roi_align.py docstring)
-        sr = roi_layer.get('sampling_ratio', 0)
-        self.sampling_ratio = sr if sr and sr > 0 else 2
+        # 0 = mmcv adaptive sampling (per-RoI ceil(extent/out), capped —
+        # see ops/roi_align.py SR0_GMAX)
+        self.sampling_ratio = roi_layer.get('sampling_ratio', 0)
         self.out_channels = out_channels
         self.featmap_strides = list(featmap_strides)
         self.finest_scale = finest_scale

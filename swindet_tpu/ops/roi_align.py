@@ -12,10 +12,12 @@ TPU-first design decisions:
   (the reference's single_level_roi_extractor.py:99-107 workaround is
   structurally unnecessary under jit).
 - ``aligned=True`` semantics (half-pixel offset) matching mmcv.
-- ``sampling_ratio=0`` (adaptive grid) is data-dependent and cannot be
-  static under jit; we use a fixed sampling grid (default 2, the
-  detectron2-style choice) — the established accuracy-neutral
-  approximation (<0.1 mAP in practice).
+- ``sampling_ratio=0`` (adaptive grid ``ceil(roi_extent/out_size)`` per
+  RoI per axis, mmcv semantics) is implemented as a static grid of
+  ``SR0_GMAX`` sample slots with per-RoI data-dependent positions and
+  masked 1/g weights — exact whenever the adaptive count ≤ SR0_GMAX
+  (all COCO-scale rois at their routed FPN level except aspect ≳ 5
+  outliers, which fall back to a capped-count subsample average).
 """
 from __future__ import annotations
 
@@ -24,6 +26,25 @@ from typing import List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# static sample-slot budget for sampling_ratio=0 (adaptive) — the
+# per-axis adaptive count is clamped to this many slots
+SR0_GMAX = 8
+
+
+def adaptive_grid(extent: jnp.ndarray, out_size: int, g_max: int):
+    """Per-RoI adaptive sample count/positions/weights for one axis.
+
+    mmcv: ``g = max(ceil(roi_extent / out_size), 1)`` samples per bin at
+    positions ``(k + 0.5) / g``, averaged with weight ``1/g``. Returns
+    (steps, weights, count): steps (R, g_max) in-bin offsets, weights
+    (R, g_max) — 0 for the unused slots — and count (R,) float.
+    """
+    g = jnp.clip(jnp.ceil(extent / out_size), 1, g_max)      # (R,) float
+    k = jnp.arange(g_max, dtype=extent.dtype)
+    steps = (k[None, :] + 0.5) / g[:, None]                  # (R, g_max)
+    weights = jnp.where(k[None, :] < g[:, None], 1.0 / g[:, None], 0.0)
+    return steps, weights, g
 
 
 def map_roi_levels(rois: jnp.ndarray, num_levels: int,
@@ -73,7 +94,7 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray],
                          rois: jnp.ndarray,
                          strides: Sequence[int],
                          out_size: int,
-                         sampling_ratio: int = 2,
+                         sampling_ratio: int = 0,
                          finest_scale: int = 56,
                          roi_valid: jnp.ndarray = None) -> jnp.ndarray:
     """RoIAlign over FPN levels.
@@ -83,7 +104,8 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray],
         rois: (R, 5) — [batch_idx, x1, y1, x2, y2] in image coords.
         strides: per-level feature strides, e.g. (4, 8, 16, 32).
         out_size: output resolution (7 for bbox head, 14 for mask head).
-        sampling_ratio: fixed samples per bin per axis.
+        sampling_ratio: samples per bin per axis; 0 = mmcv adaptive
+            (per-RoI ceil(extent/out_size), capped at SR0_GMAX).
     Returns:
         (R, out_size, out_size, C)
     """
@@ -118,12 +140,25 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray],
     bin_w = roi_w / out_size
     bin_h = roi_h / out_size
 
-    r = sampling_ratio
-    # sample positions: bin index + centered sub-sample offsets
-    steps = (np.arange(out_size)[:, None] +
-             (np.arange(r)[None, :] + 0.5) / r)            # (out, r)
-    ys = y1[:, None, None] + steps[None] * bin_h[:, None, None]  # (R,out,r)
-    xs = x1[:, None, None] + steps[None] * bin_w[:, None, None]
+    n_rois = rois.shape[0]
+    if sampling_ratio > 0:
+        r = sampling_ratio
+        sub_y = jnp.broadcast_to(
+            (jnp.arange(r, dtype=jnp.float32) + 0.5) / r, (n_rois, r))
+        sub_x = sub_y
+        w_y = jnp.full((n_rois, r), 1.0 / r)
+        w_x = w_y
+    else:
+        r = SR0_GMAX
+        sub_y, w_y, _ = adaptive_grid(roi_h, out_size, r)
+        sub_x, w_x, _ = adaptive_grid(roi_w, out_size, r)
+
+    # sample positions: bin index + per-RoI sub-sample offsets
+    bins = jnp.arange(out_size, dtype=jnp.float32)          # (out,)
+    ys = (y1[:, None, None] +
+          (bins[None, :, None] + sub_y[:, None, :]) * bin_h[:, None, None])
+    xs = (x1[:, None, None] +
+          (bins[None, :, None] + sub_x[:, None, :]) * bin_w[:, None, None])
 
     ys = ys.reshape(-1, out_size * r)                       # (R, P)
     xs = xs.reshape(-1, out_size * r)
@@ -137,10 +172,11 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray],
         lvl_h[:, None, None], lvl_w[:, None, None],
         base[:, None, None])                                # (R, P, P, C)
 
-    # average r×r samples per bin
-    rp = out_size * r
+    # weighted average of the r×r sample slots per bin (weights encode
+    # the adaptive per-RoI counts; uniform 1/r for fixed ratios)
     vals = vals.reshape(-1, out_size, r, out_size, r, c)
-    out = jnp.mean(vals, axis=(2, 4))
+    w = (w_y[:, None, :, None, None] * w_x[:, None, None, None, :])
+    out = jnp.sum(vals * w[..., None], axis=(2, 4))
     if roi_valid is not None:
         out = jnp.where(roi_valid[:, None, None, None], out, 0.0)
     return out
@@ -148,7 +184,7 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray],
 
 def roi_align_single(feat: jnp.ndarray, rois: jnp.ndarray,
                      spatial_scale: float, out_size: int,
-                     sampling_ratio: int = 2) -> jnp.ndarray:
+                     sampling_ratio: int = 0) -> jnp.ndarray:
     """Single-level RoIAlign on (B, H, W, C); rois (R, 5) with batch col.
     Used for mask-target cropping (reference: core/mask/structures.py:328
     crop_and_resize via mmcv roi_align)."""

@@ -29,7 +29,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .roi_align import map_roi_levels, multilevel_roi_align
+from .roi_align import (SR0_GMAX, adaptive_grid, map_roi_levels,
+                        multilevel_roi_align)
 
 STRIP = 64       # rows (leading dim — no alignment constraint)
 STRIP_W = 56     # cols (sublane-tiled in HBM: starts must be 8-aligned)
@@ -37,12 +38,14 @@ SMALL_H = 32     # small-strip pass (most rois: level routing keeps
 SMALL_W = 40     # them at 14-28 cells; 3x fewer DMA bytes)
 
 
-def _interp_matrix(coords, n_pix, origin, s, r, out_size):
+def _interp_matrix(coords, n_pix, origin, s, r, out_size, count):
     """A (out_size, S): averaged linear-interp weights.
 
     coords: (r, out_size) absolute sample positions (already clamped to
-    [0, H-1], zeroed rows for invalid samples via ``coords`` = -2).
-    origin: strip start (scalar). Weight w(y, cell) = max(0, 1-|y-cell|).
+    [0, H-1], zeroed rows for invalid/unused samples via ``coords`` = -2).
+    origin: strip start (scalar). count: per-RoI divisor — the adaptive
+    per-axis sample count (== r for fixed sampling ratios).
+    Weight w(y, cell) = max(0, 1-|y-cell|).
     """
     cells = jax.lax.broadcasted_iota(
         jnp.int32, (out_size, s), 1).astype(jnp.float32) \
@@ -55,12 +58,13 @@ def _interp_matrix(coords, n_pix, origin, s, r, out_size):
         yc = jnp.clip(y, 0.0, n_pix - 1.0)
         # edge-extend into the strip: samples of extreme-aspect rois
         # (cell extent > S, aspect ≳ 5 at the assigned FPN level) clamp
-        # to the strip border — bounded approximation; the custom-VJP
-        # backward uses the exact XLA path.
+        # to the strip border — the caller replaces these rois with the
+        # exact XLA result (oversize fallback); the custom-VJP backward
+        # uses the exact XLA path everywhere.
         yc = jnp.clip(yc, org, org + s - 1.0)
         w = jnp.maximum(0.0, 1.0 - jnp.abs(yc - cells))
         acc = acc + jnp.where(valid, w, 0.0)
-    return acc / r
+    return acc / count
 
 
 def _roi_align_kernel(scal_ref, ys_ref, xs_ref, *refs,
@@ -134,9 +138,11 @@ def _compute(scal_ref, ys_ref, xs_ref, out_ref, strip, slot, i, r,
     valid = scal_ref[i, 6]
     y0 = scal_ref[i, 2]
     x0 = scal_ref[i, 3]
+    g_y = scal_ref[i, 8].astype(jnp.float32)
+    g_x = scal_ref[i, 9].astype(jnp.float32)
 
-    a_y = _interp_matrix(ys_ref[0], h_l, y0, sh, r, out_size)
-    a_x = _interp_matrix(xs_ref[0], w_l, x0, sw, r, out_size)
+    a_y = _interp_matrix(ys_ref[0], h_l, y0, sh, r, out_size, g_y)
+    a_x = _interp_matrix(xs_ref[0], w_l, x0, sw, r, out_size, g_x)
 
     data = strip[slot].astype(jnp.float32)           # (S, S, C)
     t = jax.lax.dot_general(
@@ -157,7 +163,7 @@ def _roi_align_pallas_impl(feats, rois, roi_valid, strides, out_size,
                            sampling_ratio, finest_scale, interpret):
     num_levels = len(feats)
     c = feats[0].shape[-1]
-    r = sampling_ratio
+    r = sampling_ratio if sampling_ratio > 0 else SR0_GMAX
     n_rois = rois.shape[0]
 
     # Pad every level so a strip starting at the (8-aligned, rounded-UP)
@@ -194,15 +200,32 @@ def _roi_align_pallas_impl(feats, rois, roi_valid, strides, out_size,
     bin_w = (x2 - x1) / out_size
     bin_h = (y2 - y1) / out_size
 
-    steps = (np.arange(out_size)[None, :] +
-             (np.arange(r)[:, None] + 0.5) / r)       # (r, out)
-    ys = y1[:, None, None] + steps[None] * bin_h[:, None, None]
-    xs = x1[:, None, None] + steps[None] * bin_w[:, None, None]
+    bins = np.arange(out_size, dtype=np.float32)
+    if sampling_ratio > 0:
+        sub = (np.arange(r, dtype=np.float32) + 0.5) / r          # (r,)
+        sub_y = jnp.broadcast_to(sub, (n_rois, r))
+        sub_x = sub_y
+        g_y = jnp.full((n_rois,), float(r))
+        g_x = g_y
+    else:
+        # mmcv adaptive: g = max(ceil(extent/out), 1) capped at SR0_GMAX;
+        # slots k >= g are masked out below (marker -2)
+        sub_y, _, g_y = adaptive_grid(y2 - y1, out_size, r)
+        sub_x, _, g_x = adaptive_grid(x2 - x1, out_size, r)
+    # (R, r, out) sample positions
+    ys = (y1[:, None, None] +
+          (bins[None, None, :] + sub_y[:, :, None]) * bin_h[:, None, None])
+    xs = (x1[:, None, None] +
+          (bins[None, None, :] + sub_x[:, :, None]) * bin_w[:, None, None])
     # mark out-of-border samples (mmcv: y < -1 or y > H ⇒ contribute 0)
+    # and unused adaptive slots (k >= g ⇒ not part of the grid)
     hf = h_arr.astype(jnp.float32)[:, None, None]
     wf = w_arr.astype(jnp.float32)[:, None, None]
-    ys = jnp.where((ys >= -1.0) & (ys <= hf), ys, -2.0)
-    xs = jnp.where((xs >= -1.0) & (xs <= wf), xs, -2.0)
+    slot = jnp.arange(r, dtype=jnp.float32)[None, :, None]
+    ys = jnp.where((ys >= -1.0) & (ys <= hf) & (slot < g_y[:, None, None]),
+                   ys, -2.0)
+    xs = jnp.where((xs >= -1.0) & (xs <= wf) & (slot < g_x[:, None, None]),
+                   xs, -2.0)
 
     batch = rois[:, 0].astype(jnp.int32)
     valid = (jnp.ones((n_rois,), jnp.int32) if roi_valid is None
@@ -221,7 +244,8 @@ def _roi_align_pallas_impl(feats, rois, roi_valid, strides, out_size,
         x0 = jnp.clip((jnp.floor(x1).astype(jnp.int32) - 1) & ~7, 0, mx)
         scalars = jnp.stack(
             [lvl, batch, y0, x0, h_arr, w_arr, valid,
-             take.astype(jnp.int32)], axis=-1)       # (R, 8)
+             take.astype(jnp.int32), g_y.astype(jnp.int32),
+             g_x.astype(jnp.int32)], axis=-1)        # (R, 10)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_rois,),
@@ -230,7 +254,7 @@ def _roi_align_pallas_impl(feats, rois, roi_valid, strides, out_size,
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((1, r, out_size), lambda i, s: (i, 0, 0),
                               memory_space=pltpu.VMEM)] +
-                [pl.BlockSpec(memory_space=pltpu.ANY)] * num_levels),
+                [pl.BlockSpec(memory_space=pl.ANY)] * num_levels),
             out_specs=pl.BlockSpec((1, out_size, out_size, c),
                                    lambda i, s: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -252,16 +276,39 @@ def _roi_align_pallas_impl(feats, rois, roi_valid, strides, out_size,
     # small strips for the common case (levels sized so rois are
     # 14–28 cells); large strips only for the oversize tail
     small = (ext_y <= SMALL_H - 2) & (ext_x <= SMALL_W - 9)
-    out_s = one_pass(SMALL_H, SMALL_W, small)
-    out_b = one_pass(STRIP, STRIP_W, ~small)
-    return out_s + out_b
+    out = one_pass(SMALL_H, SMALL_W, small) + \
+        one_pass(STRIP, STRIP_W, ~small)
+
+    # Exact fallback for rois whose extent exceeds even the big strip
+    # (aspect ≳ 5 at their routed FPN level): compact up to K such rois
+    # and recompute them with the exact XLA gather path. lax.cond skips
+    # the work entirely when no roi is oversize (the common case).
+    oversize = ((ext_y > STRIP - 2) | (ext_x > STRIP_W - 9)) & (valid > 0)
+    k_cap = min(128, n_rois)
+    sel = jnp.argsort(~oversize)[:k_cap]        # oversize-first, stable
+    sel_over = jnp.take(oversize, sel)
+
+    def exact_tail(_):
+        out_k = multilevel_roi_align(
+            list(feats), jnp.take(rois, sel, axis=0), list(strides),
+            out_size, sampling_ratio, finest_scale, roi_valid=sel_over)
+        return out_k.astype(out.dtype)
+
+    out_k = jax.lax.cond(
+        jnp.any(oversize), exact_tail,
+        lambda _: jnp.zeros((k_cap, out_size, out_size, c), out.dtype),
+        operand=None)
+    cur = jnp.take(out, sel, axis=0)
+    out = out.at[sel].set(
+        jnp.where(sel_over[:, None, None, None], out_k, cur))
+    return out
 
 
 def multilevel_roi_align_pallas(feats: Sequence[jnp.ndarray],
                                 rois: jnp.ndarray,
                                 strides: Sequence[int],
                                 out_size: int,
-                                sampling_ratio: int = 2,
+                                sampling_ratio: int = 0,
                                 finest_scale: int = 56,
                                 roi_valid: jnp.ndarray = None,
                                 interpret: bool = False) -> jnp.ndarray:

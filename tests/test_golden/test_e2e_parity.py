@@ -1,0 +1,78 @@
+"""END-TO-END golden parity: full detector pipelines vs the REFERENCE
+torch implementation (VERDICT r1 item 1).
+
+The reference's own model code (mmdet/models via pure-torch shims) is
+the oracle: identical weights (through the production .pth converter),
+identical inputs, and the assertion is on FINAL detections — same
+per-class keep-set from NMS, boxes ≤1e-2, scores ≤1e-3, mask IoU ≥0.98.
+This exercises the whole chain: backbone → FPN → RPN (top-k, decode,
+NMS) → RoIAlign (adaptive sampling) → bbox head → multiclass NMS →
+mask head → mask pasting.
+
+Reference call path: mmdet/models/detectors/two_stage.py:187
+simple_test → rpn_head.get_bboxes → roi_head.simple_test.
+"""
+import numpy as np
+import pytest
+import torch
+
+from . import refbridge
+from .common import (build_both, jax_to_result, make_image, match_dets,
+                     run_jax_simple_test, run_ref_simple_test,
+                     tiny_maskrcnn_cfg)
+
+pytestmark = pytest.mark.skipif(not refbridge.reference_available(),
+                                reason='reference checkout not mounted')
+
+NUM_CLASSES = 4
+HW = (64, 96)
+
+
+def _mask_iou(a, b):
+    a = a.astype(bool)
+    b = b.astype(bool)
+    inter = np.logical_and(a, b).sum()
+    union = np.logical_or(a, b).sum()
+    return inter / union if union else 1.0
+
+
+def _run_pair(cfg, seed_img=21, hw=HW):
+    ref, module, variables = build_both(cfg, img_hw=hw, seed=3)
+    img = make_image(*hw, seed=seed_img)
+    ref_res = run_ref_simple_test(ref, img)
+    out = run_jax_simple_test(module, variables, img)
+    jax_res = jax_to_result(out, NUM_CLASSES, ori_shape=(*hw, 3))
+    return ref_res, jax_res
+
+
+def test_faster_rcnn_e2e():
+    cfg = tiny_maskrcnn_cfg(num_classes=NUM_CLASSES, with_mask=False)
+    cfg['type'] = 'FasterRCNN'
+    ref_res, jax_res = _run_pair(cfg)
+    n_ref = sum(len(b) for b in ref_res)
+    assert n_ref > 0, 'oracle produced no detections — bad fixture'
+    match_dets(ref_res, jax_res, NUM_CLASSES)
+
+
+def test_mask_rcnn_e2e():
+    cfg = tiny_maskrcnn_cfg(num_classes=NUM_CLASSES, with_mask=True)
+    ref_res, jax_res = _run_pair(cfg)
+    ref_boxes, ref_masks = ref_res
+    jax_boxes, jax_masks = jax_res
+    n_ref = sum(len(b) for b in ref_boxes)
+    assert n_ref > 0, 'oracle produced no detections — bad fixture'
+    match_dets(ref_boxes, jax_boxes, NUM_CLASSES)
+    for c in range(NUM_CLASSES):
+        assert len(ref_masks[c]) == len(jax_masks[c]), f'class {c}'
+        for k, (rm, jm) in enumerate(zip(ref_masks[c], jax_masks[c])):
+            iou = _mask_iou(np.asarray(rm), np.asarray(jm))
+            assert iou >= 0.98, f'class {c} det {k}: mask IoU {iou:.3f}'
+
+
+@pytest.mark.parametrize('seed_img', [5, 13])
+def test_faster_rcnn_e2e_more_images(seed_img):
+    """Different image content → different proposal/NMS paths."""
+    cfg = tiny_maskrcnn_cfg(num_classes=NUM_CLASSES, with_mask=False)
+    cfg['type'] = 'FasterRCNN'
+    ref_res, jax_res = _run_pair(cfg, seed_img=seed_img)
+    match_dets(ref_res, jax_res, NUM_CLASSES)
