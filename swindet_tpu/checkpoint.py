@@ -51,6 +51,10 @@ def flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
     parts: List[str] = []
     for p in path[:-1]:
         p = _NAME_MAP.get(p, p)
+        if p.startswith('_'):
+            # flax submodule attrs are underscore-prefixed versions of
+            # the torch names (incl. indexed ones like _bbox_head0)
+            p = p[1:]
         m = _INDEXED.match(p)
         if m:
             parts.append(f'{m.group(1)}.{m.group(2)}')

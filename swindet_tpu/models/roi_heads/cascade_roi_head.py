@@ -189,15 +189,18 @@ class CascadeRoIHead(nn.Module):
             head = self._bbox_heads[stage]
             bbox_feats = self._bbox_extractor(feats, rois)
             cls_score, bbox_pred = head(bbox_feats)
-            ms_scores.append(jax.nn.softmax(
-                cls_score.astype(jnp.float32), axis=-1))
+            # raw logits are averaged over stages, softmax AFTER (matches
+            # reference cascade_roi_head.py:449 sum(ms_scores)/n →
+            # bbox_head.get_bboxes softmax)
+            ms_scores.append(cls_score.astype(jnp.float32))
             if stage < self.num_stages - 1:
                 labels = jnp.argmax(cls_score[:, :-1], axis=-1)
                 rois = head.regress_by_class(
                     rois, labels, bbox_pred,
                     (img_shape_per_roi[:, 0:1], img_shape_per_roi[:, 1:2]))
 
-        avg_scores = sum(ms_scores) / self.num_stages
+        avg_scores = jax.nn.softmax(sum(ms_scores) / self.num_stages,
+                                    axis=-1)
         last = self._bbox_heads[-1]
 
         rois_b = rois.reshape(b, p, 5)

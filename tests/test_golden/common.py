@@ -106,6 +106,46 @@ def tiny_maskrcnn_cfg(num_classes=4, with_mask=True, cascade=False):
     return cfg
 
 
+def tiny_cascade_cfg(num_classes=4, with_mask=True):
+    """Cascade (Mask) R-CNN graph mirroring the reference base config
+    (configs/_base_/models/cascade_mask_rcnn_swin_fpn.py), scaled tiny."""
+    base = tiny_maskrcnn_cfg(num_classes=num_classes, with_mask=with_mask)
+
+    def stage_bbox_head(stds):
+        return dict(
+            type='Shared2FCBBoxHead', in_channels=32, fc_out_channels=64,
+            roi_feat_size=7, num_classes=num_classes,
+            bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                            target_means=[0., 0., 0., 0.],
+                            target_stds=list(stds)),
+            reg_class_agnostic=True,
+            loss_cls=dict(type='CrossEntropyLoss', use_sigmoid=False,
+                          loss_weight=1.0),
+            loss_bbox=dict(type='SmoothL1Loss', beta=1.0,
+                           loss_weight=1.0))
+
+    def stage_rcnn(pos_iou):
+        return dict(
+            assigner=dict(type='MaxIoUAssigner', pos_iou_thr=pos_iou,
+                          neg_iou_thr=pos_iou, min_pos_iou=pos_iou,
+                          match_low_quality=False, ignore_iof_thr=-1),
+            sampler=dict(type='RandomSampler', num=32, pos_fraction=0.25,
+                         neg_pos_ub=-1, add_gt_as_proposals=True),
+            mask_size=28, pos_weight=-1, debug=False)
+
+    base['type'] = 'CascadeRCNN'
+    roi = base['roi_head']
+    roi['type'] = 'CascadeRoIHead'
+    roi['num_stages'] = 3
+    roi['stage_loss_weights'] = [1, 0.5, 0.25]
+    roi['bbox_head'] = [stage_bbox_head([0.1, 0.1, 0.2, 0.2]),
+                        stage_bbox_head([0.05, 0.05, 0.1, 0.1]),
+                        stage_bbox_head([0.033, 0.033, 0.067, 0.067])]
+    base['train_cfg']['rcnn'] = [stage_rcnn(0.5), stage_rcnn(0.6),
+                                 stage_rcnn(0.7)]
+    return base
+
+
 # ------------------------------------------------------------ inputs
 def make_image(h, w, seed=0):
     """Structured (non-constant) normalized image, NHWC fp32 in ~N(0,1)."""

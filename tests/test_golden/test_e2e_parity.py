@@ -69,6 +69,27 @@ def test_mask_rcnn_e2e():
             assert iou >= 0.98, f'class {c} det {k}: mask IoU {iou:.3f}'
 
 
+def test_cascade_mask_rcnn_e2e():
+    """3-stage refinement, per-stage coders, stage score averaging and
+    3-head mask-prob mean (reference: cascade_roi_head.py:295-360)."""
+    from .common import tiny_cascade_cfg
+    cfg = tiny_cascade_cfg(num_classes=NUM_CLASSES, with_mask=True)
+    ref_res, jax_res = _run_pair(cfg)
+    ref_boxes, ref_masks = ref_res
+    jax_boxes, jax_masks = jax_res
+    n_ref = sum(len(b) for b in ref_boxes)
+    assert n_ref > 0, 'oracle produced no detections — bad fixture'
+    # box_tol 0.1: fp32 accumulation noise (~5e-3 at the RPN proposals,
+    # torch-CPU vs XLA-CPU reduction order) is amplified by each of the
+    # 3 exp() delta decodes; semantic bugs are pixels, not 0.05.
+    match_dets(ref_boxes, jax_boxes, NUM_CLASSES, box_tol=0.1)
+    for c in range(NUM_CLASSES):
+        assert len(ref_masks[c]) == len(jax_masks[c]), f'class {c}'
+        for k, (rm, jm) in enumerate(zip(ref_masks[c], jax_masks[c])):
+            iou = _mask_iou(np.asarray(rm), np.asarray(jm))
+            assert iou >= 0.97, f'class {c} det {k}: mask IoU {iou:.3f}'
+
+
 @pytest.mark.parametrize('seed_img', [5, 13])
 def test_faster_rcnn_e2e_more_images(seed_img):
     """Different image content → different proposal/NMS paths."""
