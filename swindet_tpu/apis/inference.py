@@ -186,24 +186,85 @@ def format_results(outputs: Dict[str, np.ndarray], metas: List[dict],
     return results
 
 
+def _load_raw(img: Union[str, np.ndarray]) -> dict:
+    if isinstance(img, str):
+        from ..datasets.pipelines.transforms import LoadImageFromFile
+        return LoadImageFromFile()(dict(img_info=dict(filename=img),
+                                        img_prefix=None))
+    return dict(img=img, img_shape=img.shape, ori_shape=img.shape,
+                img_fields=['img'])
+
+
 def inference_detector(model: DetectorHandle,
-                       imgs: Union[str, np.ndarray, Sequence]):
+                       imgs: Union[str, np.ndarray, Sequence],
+                       tta: bool = False):
     """Run inference on image(s) (reference: apis/inference.py:89).
-    Accepts path(s) or BGR ndarray(s); returns reference-format results."""
+    Accepts path(s) or BGR ndarray(s); returns reference-format results.
+    ``tta=True`` consumes every MultiScaleFlipAug output through the
+    merge_augs path (reference base.py:125 aug_test dispatch)."""
     single = isinstance(imgs, (str, np.ndarray))
     if single:
         imgs = [imgs]
+    num_classes = len(model.CLASSES)
+    mask_thr = dict(model.cfg.model.test_cfg.rcnn).get('mask_thr_binary',
+                                                       0.5) \
+        if 'rcnn' in model.cfg.model.test_cfg else 0.5
+
+    if tta and hasattr(model.module, 'aug_rpn_test'):
+        from ..datasets.pipelines.transforms import MultiScaleFlipAug
+        pipeline_cfg = [dict(p) for p in model.cfg.data.test.pipeline]
+        tta_cfg = next((p for p in pipeline_cfg
+                        if p['type'] == 'MultiScaleFlipAug'), None)
+        if tta_cfg is not None:
+            tta_cfg = dict(tta_cfg)
+            tta_cfg.pop('type')
+            fan = MultiScaleFlipAug(**tta_cfg)
+            processed = [fan(_load_raw(im)) for im in imgs]
+            n_aug = len(processed[0]['img'])
+            if n_aug > 1:
+                from .aug_test import aug_test_two_stage
+                b = len(processed)
+                aug_batches = []
+                metas = [dict(ori_shape=p['ori_shape'][0],
+                              img_shape=p['img'][0].shape[:2],
+                              scale_factor=np.ones(4, np.float32))
+                         for p in processed]
+                for a in range(n_aug):
+                    ch = _canvas_max(processed, a, 0)
+                    cw = _canvas_max(processed, a, 1)
+                    img = np.zeros((b, ch, cw, 3), np.float32)
+                    shapes = np.ones((b, 2), np.int32)
+                    sfs = np.ones((b, 4), np.float32)
+                    for j, p in enumerate(processed):
+                        im = p['img'][a]
+                        h, w = im.shape[:2]
+                        img[j, :h, :w] = im
+                        shapes[j] = (h, w)
+                        sfs[j] = p['scale_factor'][a]
+                    aug_batches.append(dict(
+                        img=jnp.asarray(img),
+                        img_shapes=jnp.asarray(shapes),
+                        scale_factors=jnp.asarray(sfs),
+                        flip=bool(processed[0]['flip'][a]),
+                        flip_direction=processed[0]['flip_direction'][a]
+                        or 'horizontal'))
+                out = aug_test_two_stage(model, aug_batches)
+                results = format_results(out, metas, num_classes,
+                                         mask_thr)
+                return results[0] if single else results
+
     batch = preprocess_images(imgs, model.cfg)
     run = model.jitted_simple_test()
     out = run(model.variables, batch['img'], batch['img_shapes'],
               batch['scale_factors'])
     out = jax.device_get(out)
-    num_classes = len(model.CLASSES)
-    mask_thr = dict(model.cfg.model.test_cfg.rcnn).get('mask_thr_binary',
-                                                       0.5) \
-        if 'rcnn' in model.cfg.model.test_cfg else 0.5
     results = format_results(out, batch['metas'], num_classes, mask_thr)
     return results[0] if single else results
+
+
+def _canvas_max(processed, a, dim, divisor: int = 32) -> int:
+    v = max(p['img'][a].shape[dim] for p in processed)
+    return (v + divisor - 1) // divisor * divisor
 
 
 def show_result(img: Union[str, np.ndarray], result, classes,

@@ -42,15 +42,28 @@ def single_gpu_test(model: DetectorHandle, dataset,
     # ---- gather pipeline outputs, grouped by orientation
     groups: Dict[int, List[int]] = {0: [], 1: []}
     processed = [None] * n
+    n_aug = 1
     for i in range(n):
         r = dataset[i]
         # MultiScaleFlipAug output: dict of lists (one entry per aug)
         if isinstance(r.get('img'), list):
-            r = {k: (v[0] if isinstance(v, list) else v)
-                 for k, v in r.items()}
+            n_aug = max(n_aug, len(r['img']))
         processed[i] = r
-        h, w = r['img'].shape[:2]
+        img0 = r['img'][0] if isinstance(r['img'], list) else r['img']
+        h, w = img0.shape[:2]
         groups[1 if w >= h else 0].append(i)
+
+    # TTA path: every aug consumed via merge_aug machinery (reference:
+    # base.py:125 aug_test dispatch). Two-stage only; single-stage
+    # detectors fall back to the first aug.
+    if n_aug > 1 and hasattr(model.module, 'aug_rpn_test'):
+        return _tta_test(model, processed, groups, batch_size,
+                         num_classes, mask_thr, logger)
+    for i in range(n):
+        r = processed[i]
+        if isinstance(r.get('img'), list):
+            processed[i] = {k: (v[0] if isinstance(v, list) else v)
+                            for k, v in r.items()}
 
     # ---- per-group fixed canvas
     results: List = [None] * n
@@ -96,6 +109,72 @@ def single_gpu_test(model: DetectorHandle, dataset,
             if logger is not None and done % (batch_size * 10) < batch_size:
                 dt = time.perf_counter() - t0
                 logger.info(f'test [{done}/{n}] {done / dt:.1f} img/s')
+    return results
+
+
+def _tta_test(model: DetectorHandle, processed, groups, batch_size,
+              num_classes, mask_thr, logger=None) -> List:
+    """Static-shape TTA eval: one fixed canvas per (orientation group,
+    aug index); every aug is merged on the aug_test path."""
+    from .aug_test import aug_test_two_stage
+    results: List = [None] * len(processed)
+    t0 = time.perf_counter()
+    done = 0
+    for g, idxs in groups.items():
+        if not idxs:
+            continue
+        n_aug = len(processed[idxs[0]]['img'])
+        canvases = []
+        for a in range(n_aug):
+            ch = _round_up(max(processed[i]['img'][a].shape[0]
+                               for i in idxs))
+            cw = _round_up(max(processed[i]['img'][a].shape[1]
+                               for i in idxs))
+            canvases.append((ch, cw))
+        for s in range(0, len(idxs), batch_size):
+            chunk = idxs[s:s + batch_size]
+            b = len(chunk)
+            aug_batches = []
+            metas = []
+            for a in range(n_aug):
+                ch, cw = canvases[a]
+                img = np.zeros((batch_size, ch, cw, 3), np.float32)
+                img_shapes = np.ones((batch_size, 2), np.int32)
+                scale_factors = np.ones((batch_size, 4), np.float32)
+                flip = bool(processed[chunk[0]]['flip'][a])
+                flip_dir = processed[chunk[0]].get(
+                    'flip_direction', ['horizontal'] * n_aug)[a] \
+                    or 'horizontal'
+                for j, i in enumerate(chunk):
+                    r = processed[i]
+                    im = r['img'][a]
+                    h, w = im.shape[:2]
+                    img[j, :h, :w] = im
+                    img_shapes[j] = (h, w)
+                    scale_factors[j] = r['scale_factor'][a]
+                    if a == 0:
+                        metas.append(dict(
+                            ori_shape=r['ori_shape'][0],
+                            img_shape=(h, w),
+                            scale_factor=np.ones(4, np.float32)))
+                aug_batches.append(dict(
+                    img=jnp.asarray(img),
+                    img_shapes=jnp.asarray(img_shapes),
+                    scale_factors=jnp.asarray(scale_factors),
+                    flip=flip, flip_direction=flip_dir))
+            out = aug_test_two_stage(model, aug_batches)
+            out = {k: v[:b] for k, v in out.items()}
+            # aug_test outputs are already in the original frame
+            batch_results = format_results(out, metas, num_classes,
+                                           mask_thr)
+            for j, i in enumerate(chunk):
+                results[i] = batch_results[j]
+            done += b
+            if logger is not None and done % (batch_size * 10) < batch_size:
+                dt = time.perf_counter() - t0
+                logger.info(
+                    f'tta test [{done}/{len(processed)}] '
+                    f'{done / dt:.1f} img/s')
     return results
 
 

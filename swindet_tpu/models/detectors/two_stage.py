@@ -125,6 +125,30 @@ class TwoStageDetector(nn.Module):
             feats, proposals, prop_valid, img_shapes, scale_factors,
             rescale=rescale)
 
+    # ------------------------------------------------------------- aug test
+    # Per-aug jittable halves of TTA; the flip/scale mapping + averaging
+    # across augs is orchestrated on host (apis/aug_test.py), mirroring
+    # reference base.py:125 forward_test → aug_test.
+    def aug_rpn_test(self, img, img_shapes):
+        """One aug's RPN proposals in ITS OWN frame: (proposals (B,P,4),
+        scores (B,P), valid (B,P))."""
+        feats = self.extract_feat(img)
+        cls_scores, bbox_preds = self._rpn_head(feats)
+        return self._rpn_head.get_proposals(
+            cls_scores, bbox_preds, img_shapes,
+            dict(dict(self.test_cfg)['rpn']))
+
+    def aug_bbox_test(self, img, proposals, img_shapes):
+        """RoI bbox branch on given proposals (aug frame, no NMS):
+        (scores (B,P,C+1), boxes (B,P,4k))."""
+        feats = self.extract_feat(img)
+        return self._roi_head.bbox_test(feats, proposals, img_shapes)
+
+    def aug_mask_test(self, img, det_boxes, det_labels):
+        """Mask probs (B,M,s,s) for given det boxes in the aug frame."""
+        feats = self.extract_feat(img)
+        return self._roi_head.mask_test(feats, det_boxes, det_labels)
+
 
 @DETECTORS.register_module()
 class CascadeRCNN(TwoStageDetector):

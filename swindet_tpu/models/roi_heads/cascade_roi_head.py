@@ -175,6 +175,65 @@ class CascadeRoIHead(nn.Module):
         return losses
 
     # ----------------------------------------------------------------- test
+    def _ms_bbox_forward(self, feats, rois, img_shape_per_roi):
+        """Multi-stage refinement loop shared by simple_test/bbox_test.
+        Returns (softmaxed stage-averaged scores, refined rois, last
+        stage's bbox_pred) — reference cascade_roi_head.py:305-336."""
+        ms_scores = []
+        bbox_pred = None
+        for stage in range(self.num_stages):
+            head = self._bbox_heads[stage]
+            bbox_feats = self._bbox_extractor(feats, rois)
+            cls_score, bbox_pred = head(bbox_feats)
+            # raw logits averaged over stages, softmax AFTER (reference
+            # cascade_roi_head.py:449 sum(ms_scores)/n → get_bboxes)
+            ms_scores.append(cls_score.astype(jnp.float32))
+            if stage < self.num_stages - 1:
+                labels = jnp.argmax(cls_score[:, :-1], axis=-1)
+                rois = head.regress_by_class(
+                    rois, labels, bbox_pred,
+                    (img_shape_per_roi[:, 0:1], img_shape_per_roi[:, 1:2]))
+        avg_scores = jax.nn.softmax(sum(ms_scores) / self.num_stages,
+                                    axis=-1)
+        return avg_scores, rois, bbox_pred
+
+    def bbox_test(self, feats, proposals, img_shapes):
+        """Decoded per-proposal (scores, boxes) WITHOUT NMS/rescale — the
+        per-aug half of aug_test (reference: cascade_roi_head.py:435-455
+        aug_test bbox loop)."""
+        b, p = proposals.shape[:2]
+        batch_col = jnp.repeat(np.arange(b, dtype=np.float32), p)
+        rois = jnp.concatenate(
+            [batch_col[:, None], proposals.reshape(-1, 4)], axis=-1)
+        img_shape_per_roi = jnp.repeat(img_shapes, p, axis=0)
+        avg_scores, rois, bbox_pred = self._ms_bbox_forward(
+            feats, rois, img_shape_per_roi)
+        last = self._bbox_heads[-1]
+        boxes = jax.vmap(
+            lambda r, bp, sh: last._bbox_coder.decode(
+                r[:, 1:], bp, max_shape=sh))(
+            rois.reshape(b, p, 5), bbox_pred.reshape(b, p, -1),
+            img_shapes)
+        return avg_scores.reshape(b, p, -1), boxes
+
+    def mask_test(self, feats, det_boxes, det_labels):
+        """Stage-averaged own-class mask probs for given boxes (in the
+        current image frame) — the per-aug half of aug_test masks
+        (reference: cascade_roi_head.py:460-480)."""
+        b, m = det_boxes.shape[:2]
+        mask_rois = jnp.concatenate(
+            [jnp.repeat(np.arange(b, dtype=np.float32), m)[:, None],
+             det_boxes.reshape(-1, 4)], axis=-1)
+        mask_feats = self._mask_extractor(feats, mask_rois)
+        flat_labels = det_labels.reshape(-1)
+        probs = 0.
+        for stage in range(self.num_stages):
+            mask_pred = self._mask_heads[stage](mask_feats)
+            probs = probs + self._mask_heads[stage].get_mask_probs(
+                mask_pred, flat_labels)
+        probs = probs / self.num_stages
+        return probs.reshape(b, m, probs.shape[1], probs.shape[2])
+
     def simple_test(self, feats, proposals, proposal_valid, img_shapes,
                     scale_factors, rescale: bool = True):
         cfg = dict(self.test_cfg)
@@ -184,37 +243,27 @@ class CascadeRoIHead(nn.Module):
             [batch_col[:, None], proposals.reshape(-1, 4)], axis=-1)
         img_shape_per_roi = jnp.repeat(img_shapes, p, axis=0)
 
-        ms_scores = []
-        for stage in range(self.num_stages):
-            head = self._bbox_heads[stage]
-            bbox_feats = self._bbox_extractor(feats, rois)
-            cls_score, bbox_pred = head(bbox_feats)
-            # raw logits are averaged over stages, softmax AFTER (matches
-            # reference cascade_roi_head.py:449 sum(ms_scores)/n →
-            # bbox_head.get_bboxes softmax)
-            ms_scores.append(cls_score.astype(jnp.float32))
-            if stage < self.num_stages - 1:
-                labels = jnp.argmax(cls_score[:, :-1], axis=-1)
-                rois = head.regress_by_class(
-                    rois, labels, bbox_pred,
-                    (img_shape_per_roi[:, 0:1], img_shape_per_roi[:, 1:2]))
-
-        avg_scores = jax.nn.softmax(sum(ms_scores) / self.num_stages,
-                                    axis=-1)
+        avg_scores, rois, bbox_pred = self._ms_bbox_forward(
+            feats, rois, img_shape_per_roi)
         last = self._bbox_heads[-1]
 
         rois_b = rois.reshape(b, p, 5)
         scores_b = avg_scores.reshape(b, p, -1)
+        pred_b = bbox_pred.reshape(b, p, -1)
 
-        def per_image(r, s, sh, sf, v):
-            boxes = r[:, 1:]
+        def per_image(r, s, bp, sh, sf, v):
+            # the LAST stage's deltas are decoded on the twice-refined
+            # rois (reference: cascade_roi_head.py:340 get_bboxes(rois,
+            # cls_score, bbox_pred, ...))
+            boxes = last._bbox_coder.decode(r[:, 1:], bp, max_shape=sh)
             if rescale:
-                boxes = boxes / sf[None, :4]
+                boxes = (boxes.reshape(boxes.shape[0], -1, 4) /
+                         sf[None, None, :4]).reshape(boxes.shape)
             s = jnp.where(v[:, None], s, 0.0)
             return multiclass_nms(boxes, s, cfg['score_thr'],
                                   dict(cfg['nms']), cfg['max_per_img'])
 
-        nms_res = jax.vmap(per_image)(rois_b, scores_b, img_shapes,
+        nms_res = jax.vmap(per_image)(rois_b, scores_b, pred_b, img_shapes,
                                       scale_factors, proposal_valid)
         out = dict(dets=nms_res.dets, labels=nms_res.labels,
                    det_valid=nms_res.valid)

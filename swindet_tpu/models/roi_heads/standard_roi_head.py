@@ -126,6 +126,37 @@ class StandardRoIHead(nn.Module):
         return losses
 
     # ----------------------------------------------------------------- test
+    def bbox_test(self, feats, proposals, img_shapes):
+        """Decoded per-proposal (scores (B,P,C+1), boxes (B,P,4k))
+        WITHOUT NMS/rescale — the per-aug half of aug_test (reference:
+        test_mixins.py:118 aug_test_bboxes calls get_bboxes(cfg=None))."""
+        b, p = proposals.shape[:2]
+        batch_col = jnp.repeat(np.arange(b, dtype=np.float32), p)
+        rois = jnp.concatenate(
+            [batch_col[:, None], proposals.reshape(-1, 4)], axis=-1)
+        cls_score, bbox_pred = self._bbox_head(
+            self._bbox_extractor(feats, rois))
+        scores = jax.nn.softmax(
+            cls_score.astype(jnp.float32), axis=-1).reshape(b, p, -1)
+        coder = self._bbox_head._bbox_coder
+        boxes = jax.vmap(
+            lambda r, bp, sh: coder.decode(r[:, 1:], bp, max_shape=sh))(
+            rois.reshape(b, p, 5), bbox_pred.reshape(b, p, -1),
+            img_shapes)
+        return scores, boxes
+
+    def mask_test(self, feats, det_boxes, det_labels):
+        """Own-class mask probs for given boxes (current image frame) —
+        the per-aug half of aug_test masks (test_mixins.py:238)."""
+        b, m = det_boxes.shape[:2]
+        mask_rois = jnp.concatenate(
+            [jnp.repeat(np.arange(b, dtype=np.float32), m)[:, None],
+             det_boxes.reshape(-1, 4)], axis=-1)
+        mask_pred = self._mask_head(self._mask_extractor(feats, mask_rois))
+        probs = self._mask_head.get_mask_probs(mask_pred,
+                                               det_labels.reshape(-1))
+        return probs.reshape(b, m, probs.shape[1], probs.shape[2])
+
     def simple_test(self, feats, proposals, proposal_valid, img_shapes,
                     scale_factors, rescale: bool = True):
         """Returns dict with padded dets (B, max, 5), labels (B, max),
