@@ -84,12 +84,30 @@ def train_detector(model, dataset, cfg, distributed: bool = False,
         variables['params']
     model_state = {k: v for k, v in variables.items() if k != 'params'}
 
-    grad_clip = dict(cfg.get('optimizer_config', {}) or {}).get('grad_clip')
+    opt_config = dict(cfg.get('optimizer_config', {}) or {})
+    grad_clip = opt_config.get('grad_clip')
+    # gradient accumulation (reference: DistOptimizerHook update_interval)
+    update_interval = int(opt_config.get('update_interval', 1))
+    if update_interval > 1:
+        logger.info(f'Gradient accumulation: update_interval='
+                    f'{update_interval} (effective global batch '
+                    f'{global_batch * update_interval})')
     tx = build_optimizer(params, dict(cfg.optimizer), lr_schedule,
-                         grad_clip)
-    state = TrainState.create(params, tx, model_state)
+                         grad_clip, update_interval=update_interval)
 
-    step = jit_train_step(make_train_step(model, tx), mesh)
+    # EMA hook (reference: mmcv EMAHook via custom_hooks)
+    ema_momentum = None
+    for hook in (cfg.get('custom_hooks') or []):
+        hook = dict(hook)
+        if hook.get('type') == 'EMAHook':
+            ema_momentum = float(hook.get('momentum', 0.0002))
+            logger.info(f'EMA enabled (momentum={ema_momentum})')
+
+    state = TrainState.create(params, tx, model_state,
+                              with_ema=ema_momentum is not None)
+
+    step = jit_train_step(
+        make_train_step(model, tx, ema_momentum=ema_momentum), mesh)
     state = replicate(mesh, state)
 
     # ---- checkpoint save/resume
@@ -115,7 +133,11 @@ def train_detector(model, dataset, cfg, distributed: bool = False,
         def eval_fn(st, epoch):
             from .inference import DetectorHandle
             from .test import single_gpu_test
-            var = {'params': st.params, **st.model_state}
+            # eval with EMA shadow params when tracked (reference:
+            # EMAHook swaps params for val)
+            eval_params = st.ema_params if st.ema_params is not None \
+                else st.params
+            var = {'params': eval_params, **st.model_state}
             handle = DetectorHandle(cfg, model, var,
                                     CLASSES=val_dataset.CLASSES)
             results = single_gpu_test(
@@ -136,7 +158,10 @@ def train_detector(model, dataset, cfg, distributed: bool = False,
         eval_fn=eval_fn,
         eval_interval=dict(cfg.get('evaluation', {})
                            or {}).get('interval', 1),
-        save_fn=save_fn, meta=meta)
+        save_fn=save_fn, meta=meta,
+        save_best=dict(cfg.get('evaluation', {}) or {}).get('save_best'),
+        save_best_rule=dict(cfg.get('evaluation', {})
+                            or {}).get('rule', 'auto'))
 
     rng = jax.random.PRNGKey(cfg.get('seed', 0) or 0)
     logger.info(f'Start training: {n_dev} devices, global batch '

@@ -96,12 +96,19 @@ def _scale_by_mult(lr_mult_tree):
 def build_optimizer(params,
                     optimizer_cfg: dict,
                     lr_schedule: Callable[[jnp.ndarray], jnp.ndarray],
-                    grad_clip: Optional[dict] = None
+                    grad_clip: Optional[dict] = None,
+                    update_interval: int = 1
                     ) -> optax.GradientTransformation:
     """cfg (e.g. ``dict(type='AdamW', lr=1e-4, betas=(0.9,0.999),
     weight_decay=0.05, paramwise_cfg=...)``) → optax chain.
 
     ``lr_schedule`` maps step → lr (absolute, already including base lr).
+    ``update_interval`` > 1 enables gradient accumulation (reference:
+    DistOptimizerHook at mmdet/utils/optimizer.py:9 — loss/k per iter,
+    optimizer step every k iters == mean-gradient MultiSteps). The lr
+    schedule stays in *iteration* units (the reference's LrUpdaterHook
+    steps per iteration): the inner update count advances once per k
+    iterations, so it is rescaled by k before entering the schedule.
     """
     cfg = dict(optimizer_cfg)
     opt_type = cfg.pop('type')
@@ -136,5 +143,10 @@ def build_optimizer(params,
         raise KeyError(f'Unsupported optimizer {opt_type}')
 
     chain.append(_scale_by_mult(lr_tree))
-    chain.append(optax.scale_by_schedule(lambda step: -lr_schedule(step)))
-    return optax.chain(*chain)
+    k = max(int(update_interval), 1)
+    chain.append(optax.scale_by_schedule(
+        lambda step: -lr_schedule(step * k)))
+    tx = optax.chain(*chain)
+    if k > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=k)
+    return tx

@@ -34,7 +34,9 @@ class EpochBasedRunner:
                  eval_fn: Optional[Callable] = None,
                  eval_interval: int = 1,
                  save_fn: Optional[Callable] = None,
-                 meta: Optional[dict] = None):
+                 meta: Optional[dict] = None,
+                 save_best: Optional[str] = None,
+                 save_best_rule: str = 'auto'):
         self.train_step = train_step
         self.mesh = mesh
         self.work_dir = work_dir
@@ -46,6 +48,13 @@ class EpochBasedRunner:
         self.eval_interval = eval_interval
         self.save_fn = save_fn
         self.meta = meta or {}
+        # save_best tracking (reference: mmcv EvalHook save_best/rule —
+        # 'auto' = greater for mAP/AR/acc-style keys, less for loss)
+        self.save_best = save_best
+        if save_best and save_best_rule == 'auto':
+            save_best_rule = 'less' if 'loss' in save_best else 'greater'
+        self.save_best_rule = save_best_rule
+        self.best_score: Optional[float] = None
         self.epoch = 0
         os.makedirs(work_dir, exist_ok=True)
         self._json_log = osp.join(
@@ -120,4 +129,38 @@ class EpochBasedRunner:
                             pass  # e.g. mAP_copypaste strings
                     self._log_json(dict(mode='val', epoch=self.epoch,
                                         **numeric))
+                    self._maybe_save_best(state, numeric)
         return state
+
+    def _maybe_save_best(self, state, numeric: Dict[str, float]):
+        """Track the best eval score and keep a ``best_<key>`` checkpoint
+        + symlink (reference: mmcv EvalHook save_best)."""
+        if not (self.save_best and self.save_fn
+                and self.save_best in numeric):
+            return
+        score = numeric[self.save_best]
+        better = (self.best_score is None
+                  or (score > self.best_score
+                      if self.save_best_rule == 'greater'
+                      else score < self.best_score))
+        if not better:
+            return
+        self.best_score = score
+        key = self.save_best.replace('/', '_')
+        path = osp.join(self.work_dir, f'best_{key}_epoch_{self.epoch}')
+        self.save_fn(path, state, dict(self.meta, epoch=self.epoch,
+                                       best_score=score))
+        link = osp.join(self.work_dir, f'best_{key}')
+        try:
+            if osp.lexists(link):
+                import shutil
+                target = osp.join(self.work_dir, os.readlink(link))
+                os.remove(link)
+                if osp.isdir(target) and target != path:
+                    shutil.rmtree(target, ignore_errors=True)
+            os.symlink(osp.basename(path), link)
+        except OSError:
+            pass
+        self.logger.info(
+            f'Best {self.save_best} = {score:.4f} at epoch {self.epoch}; '
+            f'saved {path}')

@@ -28,13 +28,18 @@ class TrainState:
     params: Any
     opt_state: Any
     model_state: Any  # non-param variable collections (e.g. batch_stats)
+    # EMA shadow params (reference: mmcv EMAHook). None unless enabled.
+    ema_params: Any = None
 
     @classmethod
     def create(cls, params, tx: optax.GradientTransformation,
-               model_state: Optional[dict] = None):
+               model_state: Optional[dict] = None,
+               with_ema: bool = False):
         return cls(step=jnp.zeros((), jnp.int32), params=params,
                    opt_state=tx.init(params),
-                   model_state=model_state or {})
+                   model_state=model_state or {},
+                   ema_params=jax.tree_util.tree_map(jnp.copy, params)
+                   if with_ema else None)
 
 
 def parse_losses(losses: Dict[str, jnp.ndarray]
@@ -52,12 +57,16 @@ def parse_losses(losses: Dict[str, jnp.ndarray]
     return total, log_vars
 
 
-def make_train_step(module, tx: optax.GradientTransformation
-                    ) -> Callable:
+def make_train_step(module, tx: optax.GradientTransformation,
+                    ema_momentum: Optional[float] = None) -> Callable:
     """Build the pure (state, batch, rng) → (state, metrics) step.
 
     ``batch`` keys: img, img_shapes, pad_shapes, gt_bboxes, gt_valid,
-    gt_labels[, gt_masks] (all statically shaped, padded)."""
+    gt_labels[, gt_masks] (all statically shaped, padded).
+
+    ``ema_momentum`` enables per-iteration EMA tracking of params
+    (reference mmcv EMAHook semantics:
+    ema = (1 - momentum) * ema + momentum * param, momentum ≈ 0.0002)."""
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jnp.ndarray):
@@ -86,8 +95,16 @@ def make_train_step(module, tx: optax.GradientTransformation
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None and ema_momentum is not None:
+            m = jnp.asarray(ema_momentum, jnp.float32)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: ((1.0 - m) * e.astype(jnp.float32)
+                              + m * p.astype(jnp.float32)).astype(e.dtype),
+                ema, params)
         new_state = state.replace(step=state.step + 1, params=params,
-                                  opt_state=opt_state, model_state=new_ms)
+                                  opt_state=opt_state, model_state=new_ms,
+                                  ema_params=ema)
         log_vars['grad_norm'] = optax.global_norm(grads)
         return new_state, log_vars
 

@@ -9,5 +9,6 @@ __all__ = [
 ]
 
 from .jit_init import jit_init  # noqa: E402
+from .sanity import check_num_classes, enable_debug_nans  # noqa: E402
 
-__all__.append('jit_init')
+__all__ += ['jit_init', 'check_num_classes', 'enable_debug_nans']

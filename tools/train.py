@@ -26,6 +26,10 @@ def parse_args():
                         help='skip validation during training')
     parser.add_argument('--seed', type=int, default=None)
     parser.add_argument('--deterministic', action='store_true')
+    parser.add_argument('--debug-nans', action='store_true',
+                        help='enable jax_debug_nans: raise at the first '
+                             'NaN-producing primitive (sanity rail, '
+                             'SURVEY §5.2)')
     parser.add_argument('--cfg-options', nargs='+', action=DictAction,
                         help='override config, xxx=yyy format')
     parser.add_argument('--launcher',
@@ -54,6 +58,9 @@ def main():
     if distributed:
         import jax
         jax.distributed.initialize()
+    if args.debug_nans:
+        from swindet_tpu.utils import enable_debug_nans
+        enable_debug_nans(True)
 
     os.makedirs(osp.abspath(cfg.work_dir), exist_ok=True)
     cfg.dump(osp.join(cfg.work_dir, osp.basename(args.config)))
@@ -80,6 +87,8 @@ def main():
     datasets = build_dataset(dict(cfg.data.train))
     if hasattr(datasets, 'CLASSES'):
         meta['CLASSES'] = datasets.CLASSES
+    from swindet_tpu.utils import check_num_classes
+    check_num_classes(dict(cfg.model), datasets, logger)
 
     train_detector(model, datasets, cfg, distributed=distributed,
                    validate=not args.no_validate, timestamp=timestamp,
