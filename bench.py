@@ -39,7 +39,22 @@ def main():
         cfg['test_cfg']['rpn'].update(nms_pre=1000, max_per_img=1000)
     model = build_detector(cfg)
 
-    img = jnp.zeros((batch, h, w, 3), jnp.float32)
+    # Structured, non-constant input (VERDICT Weak #1): NMS fixpoint
+    # rounds and top-k are data-dependent, so an all-zeros canvas is the
+    # easy case. Seeded noise + painted boxes give the detector real
+    # texture/edges to fire on (normalized ImageNet-stats style).
+    import numpy as np
+    rs = np.random.RandomState(0)
+    raw = rs.randint(0, 256, (batch, h, w, 3)).astype(np.float32)
+    for bi in range(batch):
+        for k in range(16):  # rectangles at varied scales = box-like blobs
+            y0, x0 = rs.randint(0, h - 64), rs.randint(0, w - 64)
+            bh, bw = rs.randint(24, 256), rs.randint(24, 256)
+            raw[bi, y0:min(y0 + bh, h), x0:min(x0 + bw, w)] = \
+                rs.randint(0, 256, 3)
+    mean = np.array([123.675, 116.28, 103.53], np.float32)
+    std = np.array([58.395, 57.12, 57.375], np.float32)
+    img = jnp.asarray((raw - mean) / std, jnp.float32)
     from swindet_tpu.utils import jit_init
     variables = jit_init(
         model, {'params': jax.random.PRNGKey(0),

@@ -222,3 +222,115 @@ class PointAssigner:
         return AssignResult(gt_inds=gt_inds,
                             max_overlaps=jnp.where(has, 1.0, 0.0),
                             labels=labels)
+
+
+@BBOX_ASSIGNERS.register_module()
+class ATSSAssigner:
+    """Adaptive Training Sample Selection (reference: mmdet/core/bbox/
+    assigners/atss_assigner.py:10, assign:33).
+
+    Masked static-shape re-design: per-level top-k closest candidates are
+    selected over the FULL per-level anchor slab with invalid anchors
+    masked to +INF distance (the reference filters to inside anchors
+    first — identical selection whenever a level has >= k valid anchors,
+    and candidates with INF distance are excluded from the IoU mean/std
+    and positivity below, covering the remainder).
+    """
+
+    INF = 1e8
+
+    def __init__(self, topk: int, ignore_iof_thr: float = -1, **kwargs):
+        self.topk = int(topk)
+        self.ignore_iof_thr = ignore_iof_thr
+
+    def assign(self,
+               bboxes: jnp.ndarray,
+               num_level_bboxes,
+               gt_bboxes: jnp.ndarray,
+               gt_valid: jnp.ndarray,
+               gt_labels: Optional[jnp.ndarray] = None,
+               bbox_valid: Optional[jnp.ndarray] = None,
+               gt_bboxes_ignore: Optional[jnp.ndarray] = None,
+               gt_ignore_valid: Optional[jnp.ndarray] = None) -> AssignResult:
+        """bboxes (N, 4) level-concatenated; num_level_bboxes static list;
+        gt padded (G, 4) + gt_valid (G,); bbox_valid (N,) inside-flags."""
+        import jax
+        n = bboxes.shape[0]
+        g = gt_bboxes.shape[0]
+        if bbox_valid is None:
+            bbox_valid = jnp.ones((n,), bool)
+
+        overlaps = bbox_overlaps(bboxes, gt_bboxes)            # (N, G)
+        cx = (bboxes[:, 0] + bboxes[:, 2]) / 2.0
+        cy = (bboxes[:, 1] + bboxes[:, 3]) / 2.0
+        gcx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) / 2.0
+        gcy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) / 2.0
+        dist = jnp.sqrt((cx[:, None] - gcx[None, :]) ** 2 +
+                        (cy[:, None] - gcy[None, :]) ** 2)     # (N, G)
+
+        ignored = jnp.zeros((n,), bool)
+        if (self.ignore_iof_thr > 0 and gt_bboxes_ignore is not None
+                and gt_ignore_valid is not None):
+            iof = bbox_overlaps(bboxes, gt_bboxes_ignore, mode='iof')
+            iof = jnp.where(gt_ignore_valid[None, :], iof, 0.0)
+            ignored = jnp.max(iof, axis=1) > self.ignore_iof_thr
+        sel_ok = bbox_valid & ~ignored
+        dist = jnp.where(sel_ok[:, None], dist, self.INF)
+
+        # per-level top-k closest candidates per gt (reference :114-127)
+        cand_idx, cand_ok = [], []
+        start = 0
+        for lvl_n in num_level_bboxes:
+            k = min(self.topk, int(lvl_n))
+            d = jax.lax.dynamic_slice_in_dim(dist, start, lvl_n, axis=0)
+            negd, idx = jax.lax.top_k(-d.T, k)                 # (G, k)
+            cand_idx.append(idx.T + start)                     # (k, G)
+            cand_ok.append((-negd.T) < self.INF)
+            start += lvl_n
+        cand_idx = jnp.concatenate(cand_idx, 0)                # (K, G)
+        cand_ok = jnp.concatenate(cand_ok, 0)                  # (K, G)
+
+        # candidate IoUs; masked mean + std (Bessel, matching torch.std)
+        arange_g = jnp.arange(g)[None, :]
+        cand_ovr = jnp.take_along_axis(overlaps, cand_idx, axis=0)  # (K, G)
+        cnt = jnp.maximum(jnp.sum(cand_ok, 0).astype(jnp.float32), 1.0)
+        mean = jnp.sum(jnp.where(cand_ok, cand_ovr, 0.0), 0) / cnt
+        var = jnp.sum(jnp.where(cand_ok, (cand_ovr - mean[None, :]) ** 2,
+                                0.0), 0) / jnp.maximum(cnt - 1.0, 1.0)
+        thr = mean + jnp.sqrt(var)                             # (G,)
+        is_pos = cand_ovr >= thr[None, :]
+
+        # candidate centers inside gt (reference :147-154)
+        ccx = jnp.take(cx, cand_idx)                           # (K, G)
+        ccy = jnp.take(cy, cand_idx)
+        l_ = ccx - gt_bboxes[None, :, 0]
+        t_ = ccy - gt_bboxes[None, :, 1]
+        r_ = gt_bboxes[None, :, 2] - ccx
+        b_ = gt_bboxes[None, :, 3] - ccy
+        in_gt = jnp.minimum(jnp.minimum(l_, t_), jnp.minimum(r_, b_)) > 0.01
+        is_pos = is_pos & in_gt & cand_ok & gt_valid[None, :]
+
+        # scatter candidate positivity onto the (N, G) grid; anchors
+        # claimed by multiple gts take the max-IoU one (reference :156-166)
+        pos_mask = jnp.zeros((n, g), bool).at[
+            cand_idx, jnp.broadcast_to(arange_g, cand_idx.shape)
+        ].max(is_pos, mode='drop')
+        ovr_inf = jnp.where(pos_mask, overlaps, -self.INF)
+        max_ovr = jnp.max(ovr_inf, axis=1)
+        argmax = jnp.argmax(ovr_inf, axis=1).astype(jnp.int32)
+        has_pos = max_ovr > -self.INF
+
+        gt_inds = jnp.where(has_pos, argmax + 1, 0)
+        gt_inds = jnp.where(ignored, -1, gt_inds)
+        gt_inds = jnp.where(bbox_valid, gt_inds, -1)
+        if gt_labels is not None:
+            labels = jnp.where(
+                has_pos & bbox_valid,
+                jnp.take(gt_labels.astype(jnp.int32),
+                         jnp.clip(argmax, 0, g - 1)), -1)
+        else:
+            labels = jnp.full((n,), -1, jnp.int32)
+        return AssignResult(
+            gt_inds=gt_inds,
+            max_overlaps=jnp.where(has_pos, max_ovr, 0.0),
+            labels=labels)

@@ -3,6 +3,8 @@ from .rpn_head import RPNHead
 from .retina_head import RetinaHead
 from .reppoints_head import RepPointsHead
 from .fcos_head import FCOSHead
+from .atss_head import ATSSHead
+from .gfl_head import GFLHead
 
 __all__ = ['AnchorHead', 'RPNHead', 'RetinaHead', 'RepPointsHead',
-           'FCOSHead']
+           'FCOSHead', 'ATSSHead', 'GFLHead']

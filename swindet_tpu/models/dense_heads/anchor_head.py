@@ -56,7 +56,11 @@ class AnchorHead(nn.Module):
             self.bbox_coder or dict(type='DeltaXYWHBBoxCoder')))
         if self.train_cfg:
             self._assigner = build_assigner(dict(self.train_cfg['assigner']))
-            self._sampler = build_sampler(dict(self.train_cfg['sampler']))
+            # heads with pseudo-sampling (ATSS/GFL/FCOS-style) configure
+            # no sampler (reference: atss_head.py:45 PseudoSampler)
+            self._sampler = build_sampler(dict(
+                self.train_cfg.get('sampler',
+                                   dict(type='PseudoSampler'))))
         self._init_layers()
 
     def _init_layers(self):

@@ -1,8 +1,8 @@
 from .two_stage import (CascadeRCNN, FasterRCNN, MaskRCNN,
                         TwoStageDetector)
-from .single_stage import (FCOS, RepPointsDetector, RetinaNet,
+from .single_stage import (ATSS, FCOS, GFL, RepPointsDetector, RetinaNet,
                            SingleStageDetector)
 
 __all__ = ['CascadeRCNN', 'FasterRCNN', 'MaskRCNN', 'TwoStageDetector',
-           'FCOS', 'RepPointsDetector', 'RetinaNet',
+           'ATSS', 'FCOS', 'GFL', 'RepPointsDetector', 'RetinaNet',
            'SingleStageDetector']

@@ -104,6 +104,36 @@ class RepPointsDetector(SingleStageDetector):
 
 
 @DETECTORS.register_module()
+class ATSS(SingleStageDetector):
+    """(reference: detectors/atss.py) — 3-output head (cls, bbox,
+    centerness); same dispatch shape as FCOS."""
+
+    def forward_train(self, img, img_shapes, pad_shapes, gt_bboxes,
+                      gt_valid, gt_labels, gt_masks=None):
+        feats = self.extract_feat(img, train=True)
+        rng = self.make_rng('sampling')
+        cls, reg, cness = self._bbox_head(feats, train=True)
+        return self._bbox_head.loss(rng, cls, reg, cness, gt_bboxes,
+                                    gt_valid, gt_labels, img_shapes,
+                                    pad_shapes)
+
+    def simple_test(self, img, img_shapes, scale_factors,
+                    rescale: bool = True):
+        feats = self.extract_feat(img)
+        cls, reg, cness = self._bbox_head(feats)
+        res = self._bbox_head.get_bboxes(
+            cls, reg, cness, img_shapes, scale_factors,
+            cfg=dict(self.test_cfg), rescale=rescale)
+        return dict(dets=res.dets, labels=res.labels,
+                    det_valid=res.valid)
+
+
+@DETECTORS.register_module()
+class GFL(SingleStageDetector):
+    """(reference: detectors/gfl.py) — standard 2-output dispatch."""
+
+
+@DETECTORS.register_module()
 class FCOS(SingleStageDetector):
     """(reference: fcos.py) — 3-output head (cls, bbox, centerness)."""
 

@@ -210,6 +210,73 @@ class GIoULoss:
             loss, weight, reduction, avg_factor)
 
 
+@LOSSES.register_module()
+class QualityFocalLoss:
+    """Quality Focal Loss (reference: losses/gfocal_loss.py:11
+    quality_focal_loss — arXiv:2006.04388). ``target`` is the tuple
+    (labels (N,), quality score (N,)): negatives are supervised toward 0
+    with a |sigmoid|^beta modulator; a positive's target class is
+    supervised toward its quality (IoU) score."""
+
+    def __init__(self, use_sigmoid: bool = True, beta: float = 2.0,
+                 reduction: str = 'mean', loss_weight: float = 1.0):
+        assert use_sigmoid, 'only sigmoid QFL supported'
+        self.beta = beta
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kwargs):
+        reduction = reduction_override or self.reduction
+        label, score = target
+        pred = pred.astype(jnp.float32)
+        num_classes = pred.shape[-1]
+        sig = jax.nn.sigmoid(pred)
+        # all entries toward 0, modulated by sigmoid^beta
+        loss = _bce_with_logits(pred, jnp.zeros_like(pred)) * \
+            sig ** self.beta
+        # positives: target-class column toward the quality score
+        pos = (label >= 0) & (label < num_classes)
+        safe = jnp.clip(label, 0, num_classes - 1)
+        onehot = jax.nn.one_hot(safe, num_classes, dtype=bool)
+        score_b = jnp.broadcast_to(score[..., None], pred.shape)
+        mod = jnp.abs(score_b - sig) ** self.beta
+        pos_loss = _bce_with_logits(pred, score_b) * mod
+        loss = jnp.where(pos[..., None] & onehot, pos_loss, loss)
+        loss = jnp.sum(loss, axis=-1)
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class DistributionFocalLoss:
+    """Distribution Focal Loss (reference: gfocal_loss.py:55
+    distribution_focal_loss): CE toward the two integer bins bracketing
+    the continuous distance label, linearly weighted."""
+
+    def __init__(self, reduction: str = 'mean', loss_weight: float = 1.0):
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, label, weight=None, avg_factor=None,
+                 reduction_override=None, **kwargs):
+        reduction = reduction_override or self.reduction
+        pred = pred.astype(jnp.float32)
+        n_bins = pred.shape[-1]
+        label = jnp.clip(label.astype(jnp.float32), 0, n_bins - 1 - 1e-6)
+        left = jnp.floor(label).astype(jnp.int32)
+        right = left + 1
+        wl = right.astype(jnp.float32) - label
+        wr = label - left.astype(jnp.float32)
+        logp = jax.nn.log_softmax(pred, axis=-1)
+        ll = -jnp.take_along_axis(logp, left[..., None], axis=-1)[..., 0]
+        lr = -jnp.take_along_axis(
+            logp, jnp.clip(right, 0, n_bins - 1)[..., None], axis=-1)[..., 0]
+        loss = ll * wl + lr * wr
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, reduction, avg_factor)
+
+
 def accuracy(pred: jnp.ndarray, target: jnp.ndarray,
              topk: int = 1, mask: Optional[jnp.ndarray] = None):
     """Top-k classification accuracy over valid entries."""

@@ -164,3 +164,71 @@ def test_pafpn_shapes(rng):
     assert len(outs) == 5
     for i, o in enumerate(outs[:4]):
         assert o.shape == (1, 64 // (4 * 2 ** i), 64 // (4 * 2 ** i), 16)
+
+
+def tiny_atss_cfg():
+    return dict(
+        type='ATSS',
+        backbone=dict(type='ResNet', depth=18, base_channels=16,
+                      out_indices=(1, 2, 3)),
+        neck=dict(type='FPN', in_channels=[32, 64, 128], out_channels=16,
+                  start_level=0, add_extra_convs='on_output', num_outs=5),
+        bbox_head=dict(
+            type='ATSSHead', num_classes=4, in_channels=16,
+            feat_channels=16, stacked_convs=1,
+            norm_cfg=dict(type='GN', num_groups=4),
+            anchor_generator=dict(type='AnchorGenerator', ratios=[1.0],
+                                  octave_base_scale=8, scales_per_octave=1,
+                                  strides=[8, 16, 32, 64, 128]),
+            bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                            target_means=[0., 0., 0., 0.],
+                            target_stds=[0.1, 0.1, 0.2, 0.2]),
+            loss_cls=dict(type='FocalLoss', use_sigmoid=True, gamma=2.0,
+                          alpha=0.25, loss_weight=1.0),
+            loss_bbox=dict(type='GIoULoss', loss_weight=2.0),
+            loss_centerness=dict(type='CrossEntropyLoss', use_sigmoid=True,
+                                 loss_weight=1.0)),
+        train_cfg=dict(assigner=dict(type='ATSSAssigner', topk=9),
+                       allowed_border=-1, pos_weight=-1),
+        test_cfg=dict(nms_pre=100, score_thr=0.05,
+                      nms=dict(type='nms', iou_threshold=0.6),
+                      max_per_img=16))
+
+
+def tiny_gfl_cfg():
+    cfg = tiny_atss_cfg()
+    cfg.update(type='GFL')
+    cfg['bbox_head'] = dict(
+        type='GFLHead', num_classes=4, in_channels=16, feat_channels=16,
+        stacked_convs=1, reg_max=8,
+        norm_cfg=dict(type='GN', num_groups=4),
+        anchor_generator=cfg['bbox_head']['anchor_generator'],
+        bbox_coder=cfg['bbox_head']['bbox_coder'],
+        loss_cls=dict(type='QualityFocalLoss', use_sigmoid=True,
+                      beta=2.0, loss_weight=1.0),
+        loss_dfl=dict(type='DistributionFocalLoss', loss_weight=0.25),
+        loss_bbox=dict(type='GIoULoss', loss_weight=2.0))
+    return cfg
+
+
+@pytest.mark.parametrize('cfg_fn', [tiny_atss_cfg, tiny_gfl_cfg])
+def test_atss_gfl_forward(cfg_fn):
+    model = build_detector(cfg_fn())
+    batch = demo_inputs(b=2, h=64, w=64, with_mask=False)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'], method='forward_dummy')
+    losses = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], method='forward_train',
+        rngs={'sampling': jax.random.PRNGKey(2)})
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f'{k} not finite'
+    assert float(losses['loss_cls']) > 0
+    assert float(losses['loss_bbox']) > 0
+    out = model.apply(variables, batch['img'], batch['img_shapes'],
+                      jnp.ones((2, 4), jnp.float32), method='simple_test')
+    assert out['dets'].shape == (2, 16, 5)
+    assert np.all(np.isfinite(np.asarray(out['dets'])))
