@@ -5,10 +5,16 @@ from .transforms import (PIPELINES, Compose, LoadImageFromFile,
                          MultiScaleFlipAug, ImageToTensor,
                          DefaultFormatBundle, Collect, FilterAnnotations)
 
+from .extra_augs import (Expand, MinIoURandomCrop, CutOut, Shear, Rotate,
+                         Translate, ColorTransform, EqualizeTransform,
+                         BrightnessTransform, ContrastTransform)
+
 __all__ = [
     'PIPELINES', 'Compose', 'LoadImageFromFile', 'LoadImageFromWebcam',
     'LoadAnnotations', 'Resize', 'RandomFlip', 'Normalize', 'Pad',
     'RandomCrop', 'AutoAugment', 'PhotoMetricDistortion',
     'MultiScaleFlipAug', 'ImageToTensor', 'DefaultFormatBundle', 'Collect',
-    'FilterAnnotations',
+    'FilterAnnotations', 'Expand', 'MinIoURandomCrop', 'CutOut', 'Shear',
+    'Rotate', 'Translate', 'ColorTransform', 'EqualizeTransform',
+    'BrightnessTransform', 'ContrastTransform',
 ]

@@ -1,0 +1,456 @@
+"""Augmentation breadth: Expand, MinIoURandomCrop, CutOut (reference:
+mmdet/datasets/pipelines/transforms.py:916, :1008, :1741) and the
+AutoAugment op set — Shear/Rotate/Translate/Color/Equalize/Brightness/
+Contrast (reference: auto_augment.py:112-846).
+
+Host-side numpy/cv2 (data pipeline runs on CPU threads); geometric ops
+share one affine warp helper that transforms img + bboxes + dense masks
++ seg consistently. Masks here are dense uint8 (N, H, W) arrays, the
+TPU-facing convention of this framework (see LoadAnnotations).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import cv2
+
+from .transforms import PIPELINES
+
+_MAX_LEVEL = 10
+
+
+def level_to_value(level, max_value):
+    """(reference: auto_augment.py:27)."""
+    return (level / _MAX_LEVEL) * max_value
+
+
+def enhance_level_to_value(level, a=1.8, b=0.1):
+    """(reference: auto_augment.py:32)."""
+    return (level / _MAX_LEVEL) * a + b
+
+
+def _affine_warp(results, mat: np.ndarray, fill_val, out_shape=None,
+                 interpolation=cv2.INTER_LINEAR,
+                 min_bbox_size: float = 0.0):
+    """Apply a 2x3 affine to img/bboxes/masks/seg in-place; drops gts
+    whose warped box collapses (reference semantics of
+    _filter_invalid, auto_augment.py:91)."""
+    img = results['img']
+    h, w = img.shape[:2]
+    oh, ow = out_shape or (h, w)
+    for key in results.get('img_fields', ['img']):
+        results[key] = cv2.warpAffine(
+            results[key], mat, (ow, oh), flags=interpolation,
+            borderValue=tuple(fill_val))
+    results['img_shape'] = results['img'].shape
+
+    for key in results.get('bbox_fields', []):
+        bboxes = results[key]
+        if len(bboxes) == 0:
+            continue
+        # warp the 4 corners, take the axis-aligned hull (mmcv behavior)
+        x1, y1, x2, y2 = bboxes[:, 0], bboxes[:, 1], bboxes[:, 2], \
+            bboxes[:, 3]
+        corners = np.stack([
+            np.stack([x1, y1], -1), np.stack([x2, y1], -1),
+            np.stack([x1, y2], -1), np.stack([x2, y2], -1)], 1)  # (N,4,2)
+        ones = np.ones(corners.shape[:2] + (1,), corners.dtype)
+        pts = np.concatenate([corners, ones], -1) @ mat.T        # (N,4,2)
+        nx1 = pts[..., 0].min(1).clip(0, ow)
+        ny1 = pts[..., 1].min(1).clip(0, oh)
+        nx2 = pts[..., 0].max(1).clip(0, ow)
+        ny2 = pts[..., 1].max(1).clip(0, oh)
+        results[key] = np.stack([nx1, ny1, nx2, ny2], -1).astype(
+            bboxes.dtype)
+
+    for key in results.get('mask_fields', []):
+        m = results[key]
+        if len(m) == 0:
+            results[key] = np.zeros((0, oh, ow), m.dtype)
+            continue
+        warped = [cv2.warpAffine(mi, mat, (ow, oh),
+                                 flags=cv2.INTER_NEAREST, borderValue=0)
+                  for mi in m]
+        results[key] = np.stack(warped).astype(m.dtype)
+
+    for key in results.get('seg_fields', []):
+        results[key] = cv2.warpAffine(
+            results[key], mat, (ow, oh), flags=cv2.INTER_NEAREST,
+            borderValue=results.get('seg_ignore_label', 255))
+
+    _filter_invalid(results, min_bbox_size)
+
+
+def _filter_invalid(results, min_size: float = 0.0):
+    if 'gt_bboxes' not in results:
+        return
+    b = results['gt_bboxes']
+    valid = (b[:, 2] - b[:, 0] > min_size) & (b[:, 3] - b[:, 1] > min_size)
+    if valid.all():
+        return
+    results['gt_bboxes'] = b[valid]
+    if 'gt_labels' in results:
+        results['gt_labels'] = results['gt_labels'][valid]
+    if 'gt_masks' in results:
+        results['gt_masks'] = results['gt_masks'][valid]
+
+
+def _fill3(img_fill_val):
+    if isinstance(img_fill_val, (int, float)):
+        return tuple([float(img_fill_val)] * 3)
+    return tuple(float(v) for v in img_fill_val)
+
+
+@PIPELINES.register_module()
+class Expand:
+    """Place the image on a mean-filled canvas of ratio x size
+    (reference: transforms.py:916)."""
+
+    def __init__(self, mean=(0, 0, 0), to_rgb: bool = True,
+                 ratio_range: Tuple[float, float] = (1, 4),
+                 seg_ignore_label: Optional[int] = None,
+                 prob: float = 0.5):
+        self.mean = tuple(mean[::-1]) if to_rgb else tuple(mean)
+        self.min_ratio, self.max_ratio = ratio_range
+        self.seg_ignore_label = seg_ignore_label
+        self.prob = prob
+
+    def __call__(self, results):
+        rng = results.setdefault('_rng', np.random)
+        if rng.uniform(0, 1) > self.prob:
+            return results
+        img = results['img']
+        h, w, c = img.shape
+        ratio = rng.uniform(self.min_ratio, self.max_ratio)
+        eh, ew = int(h * ratio), int(w * ratio)
+        canvas = np.full((eh, ew, c), self.mean, dtype=img.dtype)
+        left = int(rng.uniform(0, ew - w))
+        top = int(rng.uniform(0, eh - h))
+        canvas[top:top + h, left:left + w] = img
+        results['img'] = canvas
+        results['img_shape'] = canvas.shape
+        for key in results.get('bbox_fields', []):
+            results[key] = results[key] + np.tile(
+                (left, top), 2).astype(results[key].dtype)
+        for key in results.get('mask_fields', []):
+            m = results[key]
+            em = np.zeros((len(m), eh, ew), m.dtype)
+            em[:, top:top + h, left:left + w] = m
+            results[key] = em
+        for key in results.get('seg_fields', []):
+            seg = np.full((eh, ew), self.seg_ignore_label,
+                          results[key].dtype)
+            seg[top:top + h, left:left + w] = results[key]
+            results[key] = seg
+        return results
+
+
+@PIPELINES.register_module()
+class MinIoURandomCrop:
+    """IoU-constrained random crop (reference: transforms.py:1008 —
+    SSD-style patch sampling)."""
+
+    def __init__(self, min_ious=(0.1, 0.3, 0.5, 0.7, 0.9),
+                 min_crop_size: float = 0.3,
+                 bbox_clip_border: bool = True):
+        self.sample_mode = (1, *min_ious, 0)
+        self.min_crop_size = min_crop_size
+        self.bbox_clip_border = bbox_clip_border
+
+    def __call__(self, results):
+        from ...core.eval.mean_ap import _bbox_overlaps_np \
+            as bbox_overlaps_np
+        rng = results.setdefault('_rng', np.random)
+        img = results['img']
+        boxes = np.concatenate(
+            [results[k] for k in results.get('bbox_fields', [])], 0) \
+            if results.get('bbox_fields') else np.zeros((0, 4), np.float32)
+        h, w = img.shape[:2]
+        while True:
+            mode = self.sample_mode[rng.randint(len(self.sample_mode))]
+            if mode == 1:
+                return results
+            min_iou = mode
+            for _ in range(50):
+                new_w = rng.uniform(self.min_crop_size * w, w)
+                new_h = rng.uniform(self.min_crop_size * h, h)
+                if new_h / new_w < 0.5 or new_h / new_w > 2:
+                    continue
+                left = rng.uniform(0, w - new_w)
+                top = rng.uniform(0, h - new_h)
+                patch = np.array((int(left), int(top), int(left + new_w),
+                                  int(top + new_h)))
+                if patch[2] == patch[0] or patch[3] == patch[1]:
+                    continue
+                if len(boxes):
+                    overlaps = bbox_overlaps_np(
+                        patch[None].astype(np.float32),
+                        boxes.astype(np.float32)).reshape(-1)
+                    if overlaps.min() < min_iou:
+                        continue
+                    center = (boxes[:, :2] + boxes[:, 2:]) / 2
+                    center_in = ((center[:, 0] > patch[0]) &
+                                 (center[:, 1] > patch[1]) &
+                                 (center[:, 0] < patch[2]) &
+                                 (center[:, 1] < patch[3]))
+                    if not center_in.any():
+                        continue
+                    for key in results.get('bbox_fields', []):
+                        b = results[key].copy()
+                        c = (b[:, :2] + b[:, 2:]) / 2
+                        keep = ((c[:, 0] > patch[0]) & (c[:, 1] > patch[1])
+                                & (c[:, 0] < patch[2])
+                                & (c[:, 1] < patch[3]))
+                        b = b[keep]
+                        if self.bbox_clip_border:
+                            b[:, 2:] = b[:, 2:].clip(max=patch[2:])
+                            b[:, :2] = b[:, :2].clip(min=patch[:2])
+                        b -= np.tile(patch[:2], 2)
+                        results[key] = b
+                        if key == 'gt_bboxes':
+                            if 'gt_labels' in results:
+                                results['gt_labels'] = \
+                                    results['gt_labels'][keep]
+                            if 'gt_masks' in results:
+                                m = results['gt_masks'][keep]
+                                results['gt_masks'] = m[
+                                    :, patch[1]:patch[3],
+                                    patch[0]:patch[2]]
+                results['img'] = img[patch[1]:patch[3],
+                                     patch[0]:patch[2]]
+                results['img_shape'] = results['img'].shape
+                for key in results.get('seg_fields', []):
+                    results[key] = results[key][patch[1]:patch[3],
+                                                patch[0]:patch[2]]
+                return results
+
+
+@PIPELINES.register_module()
+class CutOut:
+    """Randomly drop rectangular regions (reference: transforms.py:1741)."""
+
+    def __init__(self, n_holes, cutout_shape=None, cutout_ratio=None,
+                 fill_in=(0, 0, 0)):
+        assert (cutout_shape is None) ^ (cutout_ratio is None)
+        if not isinstance(n_holes, (tuple, list)):
+            n_holes = (n_holes, n_holes)
+        self.n_holes = tuple(n_holes)
+        self.fill_in = fill_in
+        self.with_ratio = cutout_ratio is not None
+        cand = cutout_ratio if self.with_ratio else cutout_shape
+        self.candidates = cand if isinstance(cand, list) else [cand]
+
+    def __call__(self, results):
+        rng = results.setdefault('_rng', np.random)
+        h, w = results['img'].shape[:2]
+        n = rng.randint(self.n_holes[0], self.n_holes[1] + 1)
+        for _ in range(n):
+            x1 = rng.randint(0, w)
+            y1 = rng.randint(0, h)
+            idx = rng.randint(0, len(self.candidates))
+            if self.with_ratio:
+                cw = int(self.candidates[idx][0] * w)
+                ch = int(self.candidates[idx][1] * h)
+            else:
+                cw, ch = self.candidates[idx]
+            x2 = np.clip(x1 + cw, 0, w)
+            y2 = np.clip(y1 + ch, 0, h)
+            results['img'][y1:y2, x1:x2, :] = self.fill_in
+        return results
+
+
+# ------------------------------------------------------ AutoAugment ops
+@PIPELINES.register_module()
+class Shear:
+    """(reference: auto_augment.py:112)."""
+
+    def __init__(self, level, img_fill_val=128, seg_ignore_label=255,
+                 prob: float = 0.5, direction: str = 'horizontal',
+                 max_shear_magnitude: float = 0.3,
+                 random_negative_prob: float = 0.5,
+                 interpolation: str = 'bilinear'):
+        self.magnitude = level_to_value(level, max_shear_magnitude)
+        self.img_fill_val = _fill3(img_fill_val)
+        self.seg_ignore_label = seg_ignore_label
+        self.prob = prob
+        self.direction = direction
+        self.random_negative_prob = random_negative_prob
+        self.interpolation = (cv2.INTER_LINEAR
+                              if interpolation == 'bilinear'
+                              else cv2.INTER_NEAREST)
+
+    def __call__(self, results):
+        rng = results.setdefault('_rng', np.random)
+        if rng.uniform(0, 1) > self.prob:
+            return results
+        mag = self.magnitude
+        if rng.uniform(0, 1) < self.random_negative_prob:
+            mag = -mag
+        if self.direction == 'horizontal':
+            mat = np.array([[1, mag, 0], [0, 1, 0]], np.float32)
+        else:
+            mat = np.array([[1, 0, 0], [mag, 1, 0]], np.float32)
+        results['seg_ignore_label'] = self.seg_ignore_label
+        _affine_warp(results, mat, self.img_fill_val,
+                     interpolation=self.interpolation)
+        return results
+
+
+@PIPELINES.register_module()
+class Rotate:
+    """(reference: auto_augment.py:329)."""
+
+    def __init__(self, level, scale: float = 1, center=None,
+                 img_fill_val=128, seg_ignore_label=255, prob: float = 0.5,
+                 max_rotate_angle: float = 30,
+                 random_negative_prob: float = 0.5):
+        self.angle = level_to_value(level, max_rotate_angle)
+        self.scale = scale
+        self.center = center
+        self.img_fill_val = _fill3(img_fill_val)
+        self.seg_ignore_label = seg_ignore_label
+        self.prob = prob
+        self.random_negative_prob = random_negative_prob
+
+    def __call__(self, results):
+        rng = results.setdefault('_rng', np.random)
+        if rng.uniform(0, 1) > self.prob:
+            return results
+        angle = self.angle
+        if rng.uniform(0, 1) < self.random_negative_prob:
+            angle = -angle
+        h, w = results['img'].shape[:2]
+        center = self.center or ((w - 1) * 0.5, (h - 1) * 0.5)
+        mat = cv2.getRotationMatrix2D(center, -angle, self.scale)
+        results['seg_ignore_label'] = self.seg_ignore_label
+        _affine_warp(results, mat.astype(np.float32), self.img_fill_val)
+        return results
+
+
+@PIPELINES.register_module()
+class Translate:
+    """(reference: auto_augment.py:543)."""
+
+    def __init__(self, level, prob: float = 0.5, img_fill_val=128,
+                 seg_ignore_label=255, direction: str = 'horizontal',
+                 max_translate_offset: float = 250.,
+                 random_negative_prob: float = 0.5,
+                 min_size: float = 0.0):
+        self.offset = int(level_to_value(level, max_translate_offset))
+        self.prob = prob
+        self.img_fill_val = _fill3(img_fill_val)
+        self.seg_ignore_label = seg_ignore_label
+        self.direction = direction
+        self.random_negative_prob = random_negative_prob
+        self.min_size = min_size
+
+    def __call__(self, results):
+        rng = results.setdefault('_rng', np.random)
+        if rng.uniform(0, 1) > self.prob:
+            return results
+        off = self.offset
+        if rng.uniform(0, 1) < self.random_negative_prob:
+            off = -off
+        if self.direction == 'horizontal':
+            mat = np.array([[1, 0, off], [0, 1, 0]], np.float32)
+        else:
+            mat = np.array([[1, 0, 0], [0, 1, off]], np.float32)
+        results['seg_ignore_label'] = self.seg_ignore_label
+        _affine_warp(results, mat, self.img_fill_val,
+                     min_bbox_size=self.min_size)
+        return results
+
+
+@PIPELINES.register_module()
+class ColorTransform:
+    """Color-balance adjust (reference: auto_augment.py:709 —
+    mmcv.adjust_color: blend with the grayscale image)."""
+
+    def __init__(self, level, prob: float = 0.5):
+        self.factor = enhance_level_to_value(level)
+        self.prob = prob
+
+    def __call__(self, results):
+        rng = results.setdefault('_rng', np.random)
+        if rng.uniform(0, 1) > self.prob:
+            return results
+        img = results['img']
+        gray = cv2.cvtColor(img.astype(np.uint8), cv2.COLOR_BGR2GRAY)
+        gray3 = cv2.cvtColor(gray, cv2.COLOR_GRAY2BGR).astype(np.float32)
+        out = gray3 + self.factor * (img.astype(np.float32) - gray3)
+        results['img'] = np.clip(out, 0, 255).astype(img.dtype)
+        return results
+
+
+@PIPELINES.register_module()
+class EqualizeTransform:
+    """Histogram equalization per channel (reference: auto_augment.py:758
+    — mmcv.imequalize, PIL.ImageOps.equalize semantics)."""
+
+    def __init__(self, prob: float = 0.5):
+        self.prob = prob
+
+    @staticmethod
+    def _equalize_channel(ch: np.ndarray) -> np.ndarray:
+        # PIL equalize: non-standard LUT with step = (pixels - last_bin)/255
+        histo = np.bincount(ch.reshape(-1), minlength=256)
+        nonzero = histo[histo > 0]
+        if len(nonzero) <= 1:
+            return ch
+        step = (histo.sum() - nonzero[-1]) // 255
+        if step == 0:
+            return ch
+        lut = (np.concatenate([[0], np.cumsum(histo)[:-1]]) + step // 2) \
+            // step
+        return np.clip(lut, 0, 255).astype(ch.dtype)[ch]
+
+    def __call__(self, results):
+        rng = results.setdefault('_rng', np.random)
+        if rng.uniform(0, 1) > self.prob:
+            return results
+        img = results['img'].astype(np.uint8)
+        results['img'] = np.stack(
+            [self._equalize_channel(img[..., c])
+             for c in range(img.shape[-1])], -1).astype(
+                 results['img'].dtype)
+        return results
+
+
+@PIPELINES.register_module()
+class BrightnessTransform:
+    """(reference: auto_augment.py:797 — blend with a black image)."""
+
+    def __init__(self, level, prob: float = 0.5):
+        self.factor = enhance_level_to_value(level)
+        self.prob = prob
+
+    def __call__(self, results):
+        rng = results.setdefault('_rng', np.random)
+        if rng.uniform(0, 1) > self.prob:
+            return results
+        img = results['img']
+        out = self.factor * img.astype(np.float32)
+        results['img'] = np.clip(out, 0, 255).astype(img.dtype)
+        return results
+
+
+@PIPELINES.register_module()
+class ContrastTransform:
+    """(reference: auto_augment.py:846 — blend with the mean-gray
+    image)."""
+
+    def __init__(self, level, prob: float = 0.5):
+        self.factor = enhance_level_to_value(level)
+        self.prob = prob
+
+    def __call__(self, results):
+        rng = results.setdefault('_rng', np.random)
+        if rng.uniform(0, 1) > self.prob:
+            return results
+        img = results['img']
+        gray = cv2.cvtColor(img.astype(np.uint8), cv2.COLOR_BGR2GRAY)
+        mean = round(gray.mean())
+        out = mean + self.factor * (img.astype(np.float32) - mean)
+        results['img'] = np.clip(out, 0, 255).astype(img.dtype)
+        return results
