@@ -184,3 +184,129 @@ def anchor_inside_flags(flat_anchors: jnp.ndarray,
             & (flat_anchors[:, 1] >= -allowed_border)
             & (flat_anchors[:, 2] < w + allowed_border)
             & (flat_anchors[:, 3] < h + allowed_border))
+
+
+@ANCHOR_GENERATORS.register_module()
+class SSDAnchorGenerator(AnchorGenerator):
+    """SSD anchors (reference: anchor_generator.py:350). Per level:
+    min/max sizes from ``basesize_ratio_range``, base anchors reordered
+    so the sqrt(max/min)-scale square anchor sits at index 1."""
+
+    def __init__(self, strides, ratios, basesize_ratio_range,
+                 input_size: int = 300, scale_major: bool = False):
+        self.strides = [s if isinstance(s, (tuple, list)) else (s, s)
+                        for s in strides]
+        self.input_size = input_size
+        self.centers = [(s[0] / 2., s[1] / 2.) for s in self.strides]
+        self.basesize_ratio_range = basesize_ratio_range
+
+        min_ratio, max_ratio = basesize_ratio_range
+        min_ratio = int(min_ratio * 100)
+        max_ratio = int(max_ratio * 100)
+        step = int(np.floor(max_ratio - min_ratio) / (len(strides) - 2))
+        min_sizes, max_sizes = [], []
+        for ratio in range(int(min_ratio), int(max_ratio) + 1, step):
+            min_sizes.append(int(input_size * ratio / 100))
+            max_sizes.append(int(input_size * (ratio + step) / 100))
+        if input_size == 300:
+            if basesize_ratio_range[0] == 0.15:        # SSD300 COCO
+                min_sizes.insert(0, int(input_size * 7 / 100))
+                max_sizes.insert(0, int(input_size * 15 / 100))
+            elif basesize_ratio_range[0] == 0.2:       # SSD300 VOC
+                min_sizes.insert(0, int(input_size * 10 / 100))
+                max_sizes.insert(0, int(input_size * 20 / 100))
+            else:
+                raise ValueError(
+                    'basesize_ratio_range[0] should be 0.15 or 0.2 '
+                    f'for input_size 300, got {basesize_ratio_range[0]}')
+        elif input_size == 512:
+            if basesize_ratio_range[0] == 0.1:         # SSD512 COCO
+                min_sizes.insert(0, int(input_size * 4 / 100))
+                max_sizes.insert(0, int(input_size * 10 / 100))
+            elif basesize_ratio_range[0] == 0.15:      # SSD512 VOC
+                min_sizes.insert(0, int(input_size * 7 / 100))
+                max_sizes.insert(0, int(input_size * 15 / 100))
+            else:
+                raise ValueError(
+                    'basesize_ratio_range[0] should be 0.1 or 0.15 '
+                    f'for input_size 512, got {basesize_ratio_range[0]}')
+        else:
+            raise ValueError('input_size must be 300 or 512, '
+                             f'got {input_size}')
+
+        self.base_sizes = min_sizes
+        self.scale_major = scale_major
+        self.center_offset = 0.0
+        self._level_scales = []
+        self._level_ratios = []
+        for k in range(len(self.strides)):
+            scales = [1., np.sqrt(max_sizes[k] / min_sizes[k])]
+            anchor_ratio = [1.]
+            for r in ratios[k]:
+                anchor_ratio += [1 / r, r]
+            self._level_scales.append(np.array(scales, np.float64))
+            self._level_ratios.append(np.array(anchor_ratio, np.float64))
+        self.base_anchors = self.gen_base_anchors()
+
+    def gen_base_anchors(self):
+        out = []
+        for i, base_size in enumerate(self.base_sizes):
+            base = self.gen_single_level_base_anchors(
+                base_size, self._level_scales[i], self._level_ratios[i],
+                self.centers[i])
+            # keep [min-size 1:1, sqrt-size 1:1, ratio anchors...]
+            # (reference :449-452: of the scales x ratios product, drop
+            # the sqrt-scale duplicates of non-1 ratios)
+            indices = list(range(len(self._level_ratios[i])))
+            indices.insert(1, len(indices))
+            out.append(base[np.array(indices)])
+        return out
+
+
+@ANCHOR_GENERATORS.register_module()
+class YOLOAnchorGenerator(AnchorGenerator):
+    """Per-level explicit (w, h) base sizes (reference:
+    anchor_generator.py:595)."""
+
+    def __init__(self, strides, base_sizes):
+        self.strides = [s if isinstance(s, (tuple, list)) else (s, s)
+                        for s in strides]
+        self.centers = [(s[0] / 2., s[1] / 2.) for s in self.strides]
+        self.base_sizes = [
+            [bs if isinstance(bs, (tuple, list)) else (bs, bs)
+             for bs in level] for level in base_sizes]
+        self.base_anchors = self.gen_base_anchors()
+
+    @property
+    def num_levels(self):
+        return len(self.base_sizes)
+
+    def gen_base_anchors(self):
+        out = []
+        for i, level in enumerate(self.base_sizes):
+            x_c, y_c = self.centers[i]
+            anchors = [[x_c - 0.5 * w, y_c - 0.5 * h,
+                        x_c + 0.5 * w, y_c + 0.5 * h]
+                       for (w, h) in level]
+            out.append(np.asarray(anchors, np.float32))
+        return out
+
+    def responsible_flags(self, featmap_sizes, gt_bboxes, gt_valid):
+        """Anchors in the grid cell containing a gt centre (reference:
+        anchor_generator.py:667 responsible_flags). gt padded (G, 4) with
+        ``gt_valid``; invalid gts claim nothing."""
+        flags = []
+        for lvl in range(self.num_levels):
+            fh, fw = featmap_sizes[lvl]
+            sx, sy = self.strides[lvl]
+            cx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) * 0.5
+            cy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) * 0.5
+            gx = jnp.floor(cx / sx).astype(jnp.int32)
+            gy = jnp.floor(cy / sy).astype(jnp.int32)
+            idx = gy * fw + gx
+            # out-of-range index for invalid gts → dropped by mode='drop'
+            idx = jnp.where(gt_valid, idx, fh * fw)
+            grid = jnp.zeros((fh * fw,), bool).at[idx].set(
+                True, mode='drop')
+            flags.append(jnp.repeat(grid, self.num_base_anchors[lvl]))
+        return flags

@@ -334,3 +334,70 @@ class ATSSAssigner:
             gt_inds=gt_inds,
             max_overlaps=jnp.where(has_pos, max_ovr, 0.0),
             labels=labels)
+
+
+@BBOX_ASSIGNERS.register_module()
+class GridAssigner:
+    """YOLO grid assigner (reference: mmdet/core/bbox/assigners/
+    grid_assigner.py:9): positives constrained to responsible cells;
+    step-4 in-order gt overwrite reproduced with last-gt-wins."""
+
+    def __init__(self, pos_iou_thr: float, neg_iou_thr,
+                 min_pos_iou: float = 0.0,
+                 gt_max_assign_all: bool = True, **kwargs):
+        self.pos_iou_thr = pos_iou_thr
+        self.neg_iou_thr = neg_iou_thr
+        self.min_pos_iou = min_pos_iou
+        self.gt_max_assign_all = gt_max_assign_all
+
+    def assign(self, bboxes, responsible_flags, gt_bboxes, gt_valid,
+               gt_labels=None, bbox_valid=None):
+        n = bboxes.shape[0]
+        g = gt_bboxes.shape[0]
+        overlaps = bbox_overlaps(gt_bboxes, bboxes)          # (G, N)
+        overlaps = jnp.where(gt_valid[:, None], overlaps, -1.0)
+        if bbox_valid is not None:
+            overlaps = jnp.where(bbox_valid[None, :], overlaps, -1.0)
+
+        gt_inds = jnp.full((n,), -1, jnp.int32)
+        max_all = jnp.max(overlaps, axis=0, initial=-1.0)
+        # step 2: negatives (iou <= neg_thr over ALL anchors)
+        if isinstance(self.neg_iou_thr, (tuple, list)):
+            lo, hi = self.neg_iou_thr
+            neg = (max_all > lo) & (max_all <= hi)
+        else:
+            neg = (max_all >= 0) & (max_all <= self.neg_iou_thr)
+        gt_inds = jnp.where(neg, 0, gt_inds)
+
+        # step 3: positives within responsible cells
+        resp_ovr = jnp.where(responsible_flags[None, :], overlaps, -1.0)
+        max_resp = jnp.max(resp_ovr, axis=0, initial=-1.0)
+        arg_resp = jnp.argmax(resp_ovr, axis=0).astype(jnp.int32)
+        pos = (max_resp > self.pos_iou_thr) & responsible_flags
+        gt_inds = jnp.where(pos, arg_resp + 1, gt_inds)
+
+        # step 4: each gt claims its best responsible anchor(s)
+        gt_max = jnp.max(resp_ovr, axis=1, initial=-1.0)     # (G,)
+        eligible = ((resp_ovr == gt_max[:, None])
+                    & (gt_max[:, None] > self.min_pos_iou)
+                    & responsible_flags[None, :]
+                    & gt_valid[:, None])
+        if not self.gt_max_assign_all:
+            best = jnp.argmax(resp_ovr, axis=1)
+            eligible = eligible & (jnp.arange(n)[None, :] == best[:, None])
+        rev = eligible[::-1, :]
+        last_g = g - 1 - jnp.argmax(rev, axis=0)
+        has = jnp.any(eligible, axis=0)
+        gt_inds = jnp.where(has, last_g.astype(jnp.int32) + 1, gt_inds)
+
+        if gt_labels is not None:
+            safe = jnp.clip(gt_inds - 1, 0, None)
+            labels = jnp.where(gt_inds > 0,
+                               jnp.take(gt_labels.astype(jnp.int32), safe),
+                               -1)
+        else:
+            labels = jnp.full((n,), -1, jnp.int32)
+        return AssignResult(gt_inds=gt_inds,
+                            max_overlaps=jnp.where(max_all > -1, max_all,
+                                                   0.0),
+                            labels=labels)

@@ -154,3 +154,42 @@ class DistancePointBBoxCoder:
     def decode(self, points, pred, max_shape=None):
         return distance2bbox(points, pred,
                              max_shape if self.clip_border else None)
+
+
+@BBOX_CODERS.register_module()
+class YOLOBBoxCoder:
+    """YOLO grid-relative coder (reference: mmdet/core/bbox/coder/
+    yolo_bbox_coder.py:9). cx,cy in [0,1] relative to the grid cell;
+    dw,dh log-scale wrt the anchor."""
+
+    def __init__(self, eps: float = 1e-6):
+        self.eps = eps
+
+    def encode(self, bboxes, gt_bboxes, stride):
+        x_c_gt = (gt_bboxes[..., 0] + gt_bboxes[..., 2]) * 0.5
+        y_c_gt = (gt_bboxes[..., 1] + gt_bboxes[..., 3]) * 0.5
+        w_gt = gt_bboxes[..., 2] - gt_bboxes[..., 0]
+        h_gt = gt_bboxes[..., 3] - gt_bboxes[..., 1]
+        x_c = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        y_c = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        w = bboxes[..., 2] - bboxes[..., 0]
+        h = bboxes[..., 3] - bboxes[..., 1]
+        w_t = jnp.log(jnp.clip(w_gt / w, self.eps))
+        h_t = jnp.log(jnp.clip(h_gt / h, self.eps))
+        x_t = jnp.clip((x_c_gt - x_c) / stride + 0.5, self.eps,
+                       1 - self.eps)
+        y_t = jnp.clip((y_c_gt - y_c) / stride + 0.5, self.eps,
+                       1 - self.eps)
+        return jnp.stack([x_t, y_t, w_t, h_t], axis=-1)
+
+    def decode(self, bboxes, pred_bboxes, stride):
+        x_c = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        y_c = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        w = bboxes[..., 2] - bboxes[..., 0]
+        h = bboxes[..., 3] - bboxes[..., 1]
+        x_cp = (pred_bboxes[..., 0] - 0.5) * stride + x_c
+        y_cp = (pred_bboxes[..., 1] - 0.5) * stride + y_c
+        w_p = jnp.exp(pred_bboxes[..., 2]) * w
+        h_p = jnp.exp(pred_bboxes[..., 3]) * h
+        return jnp.stack([x_cp - w_p / 2, y_cp - h_p / 2,
+                          x_cp + w_p / 2, y_cp + h_p / 2], axis=-1)

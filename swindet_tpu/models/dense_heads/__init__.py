@@ -5,6 +5,8 @@ from .reppoints_head import RepPointsHead
 from .fcos_head import FCOSHead
 from .atss_head import ATSSHead
 from .gfl_head import GFLHead
+from .ssd_head import SSDHead
+from .yolo_head import YOLOV3Head
 
 __all__ = ['AnchorHead', 'RPNHead', 'RetinaHead', 'RepPointsHead',
-           'FCOSHead', 'ATSSHead', 'GFLHead']
+           'FCOSHead', 'ATSSHead', 'GFLHead', 'SSDHead', 'YOLOV3Head']

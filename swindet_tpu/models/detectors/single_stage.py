@@ -155,3 +155,26 @@ class FCOS(SingleStageDetector):
             cfg=dict(self.test_cfg), rescale=rescale)
         return dict(dets=res.dets, labels=res.labels,
                     det_valid=res.valid)
+
+
+@DETECTORS.register_module()
+class YOLOV3(SingleStageDetector):
+    """(reference: detectors/yolo.py) — single pred-map-tuple head."""
+
+    def forward_train(self, img, img_shapes, pad_shapes, gt_bboxes,
+                      gt_valid, gt_labels, gt_masks=None):
+        feats = self.extract_feat(img, train=True)
+        rng = self.make_rng('sampling')
+        pred_maps = self._bbox_head(feats, train=True)
+        return self._bbox_head.loss(rng, pred_maps, gt_bboxes, gt_valid,
+                                    gt_labels, img_shapes, pad_shapes)
+
+    def simple_test(self, img, img_shapes, scale_factors,
+                    rescale: bool = True):
+        feats = self.extract_feat(img)
+        pred_maps = self._bbox_head(feats)
+        res = self._bbox_head.get_bboxes(
+            pred_maps, img_shapes, scale_factors,
+            cfg=dict(self.test_cfg), rescale=rescale)
+        return dict(dets=res.dets, labels=res.labels,
+                    det_valid=res.valid)

@@ -204,7 +204,11 @@ class ConvModule(nn.Module):
             x = build_norm(self.norm_cfg, name='norm')(x, train=train)
             x = x.astype(self.dtype)
         if self.act_cfg is not None:
-            x = _ACTS[self.act_cfg.get('type', 'ReLU')](x)
+            if self.act_cfg.get('type') == 'LeakyReLU':
+                x = nn.leaky_relu(
+                    x, self.act_cfg.get('negative_slope', 0.01))
+            else:
+                x = _ACTS[self.act_cfg.get('type', 'ReLU')](x)
         return x
 
 

@@ -289,3 +289,22 @@ def accuracy(pred: jnp.ndarray, target: jnp.ndarray,
     if mask is not None:
         return jnp.sum(correct * mask) / jnp.maximum(jnp.sum(mask), 1.0) * 100
     return jnp.mean(correct) * 100
+
+
+@LOSSES.register_module()
+class MSELoss:
+    """(reference: losses/mse_loss.py:15)."""
+
+    def __init__(self, reduction: str = 'mean', loss_weight: float = 1.0):
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kwargs):
+        reduction = reduction_override or self.reduction
+        loss = (pred.astype(jnp.float32)
+                - target.astype(jnp.float32)) ** 2
+        if weight is not None and weight.ndim < loss.ndim:
+            weight = weight[..., None]
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, reduction, avg_factor)

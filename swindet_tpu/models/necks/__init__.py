@@ -1,4 +1,5 @@
 from .fpn import FPN
 from .pafpn import PAFPN
+from .yolo_neck import YOLOV3Neck
 
-__all__ = ['FPN', 'PAFPN']
+__all__ = ['FPN', 'PAFPN', 'YOLOV3Neck']

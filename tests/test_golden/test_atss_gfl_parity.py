@@ -111,3 +111,78 @@ def test_distribution_focal_loss_parity():
     m = mine(jnp.asarray(pred), jnp.asarray(label),
              weight=jnp.asarray(weight), avg_factor=33.0)
     np.testing.assert_allclose(float(m), float(r), rtol=1e-5)
+
+
+@pytest.mark.parametrize('seed', [0, 1])
+def test_grid_assigner_parity(seed):
+    """GridAssigner + responsible_flags + YOLOBBoxCoder vs reference."""
+    refbridge.install()
+    import torch
+    from mmdet.core.bbox.assigners import GridAssigner as RefGrid
+    from mmdet.core.anchor import build_anchor_generator as ref_ag_build
+    from mmdet.core.bbox.coder import YOLOBBoxCoder as RefCoder
+    from swindet_tpu.core.bbox.assigners import GridAssigner
+    from swindet_tpu.core.anchors import YOLOAnchorGenerator
+    from swindet_tpu.core.bbox.coders import YOLOBBoxCoder
+
+    base_sizes = [[(116, 90), (156, 198), (373, 326)],
+                  [(30, 61), (62, 45), (59, 119)],
+                  [(10, 13), (16, 30), (33, 23)]]
+    featmap_sizes = [(4, 4), (8, 8), (16, 16)]
+    ref_gen = ref_ag_build(dict(type='YOLOAnchorGenerator',
+                                strides=[32, 16, 8],
+                                base_sizes=base_sizes))
+    my_gen = YOLOAnchorGenerator(strides=[32, 16, 8],
+                                 base_sizes=base_sizes)
+
+    rs = np.random.RandomState(seed)
+    n_gt = 4
+    ctr = rs.rand(n_gt, 2) * 100 + 10
+    wh = rs.rand(n_gt, 2) * 60 + 10
+    gts = np.concatenate([ctr - wh / 2, ctr + wh / 2], -1)
+    gts = gts.clip(0, 127).astype(np.float32)
+    labels = rs.randint(0, 4, (n_gt,)).astype(np.int64)
+
+    ref_anchors = ref_gen.grid_anchors(featmap_sizes, device='cpu')
+    ref_resp = ref_gen.responsible_flags(featmap_sizes,
+                                         torch.from_numpy(gts),
+                                         device='cpu')
+    r = RefGrid(pos_iou_thr=0.5, neg_iou_thr=0.5, min_pos_iou=0).assign(
+        torch.cat(ref_anchors), torch.cat(ref_resp),
+        torch.from_numpy(gts), torch.from_numpy(labels))
+
+    my_anchors = jnp.concatenate(my_gen.grid_anchors(featmap_sizes), 0)
+    g_pad = 8
+    gts_p = np.zeros((g_pad, 4), np.float32)
+    gts_p[:n_gt] = gts
+    labels_p = np.zeros((g_pad,), np.int32)
+    labels_p[:n_gt] = labels
+    valid = np.zeros((g_pad,), bool)
+    valid[:n_gt] = True
+    my_resp = jnp.concatenate(my_gen.responsible_flags(
+        featmap_sizes, jnp.asarray(gts_p), jnp.asarray(valid)), 0)
+    np.testing.assert_array_equal(np.asarray(my_resp),
+                                  torch.cat(ref_resp).numpy().astype(bool))
+    m = GridAssigner(pos_iou_thr=0.5, neg_iou_thr=0.5,
+                     min_pos_iou=0).assign(
+        my_anchors, my_resp, jnp.asarray(gts_p), jnp.asarray(valid),
+        jnp.asarray(labels_p))
+    np.testing.assert_array_equal(np.asarray(m.gt_inds),
+                                  r.gt_inds.numpy())
+    np.testing.assert_array_equal(np.asarray(m.labels), r.labels.numpy())
+
+    # coder roundtrip parity on the positive anchors
+    rc, mc = RefCoder(), YOLOBBoxCoder()
+    pos = r.gt_inds.numpy() > 0
+    if pos.any():
+        pa = torch.cat(ref_anchors)[pos]
+        pg = torch.from_numpy(gts)[r.gt_inds.numpy()[pos] - 1]
+        enc_r = rc.encode(pa, pg, torch.full((int(pos.sum()),), 16.0))
+        enc_m = mc.encode(jnp.asarray(pa.numpy()), jnp.asarray(pg.numpy()),
+                          16.0)
+        np.testing.assert_allclose(np.asarray(enc_m), enc_r.numpy(),
+                                   atol=1e-5)
+        dec_r = rc.decode(pa, enc_r, torch.full((int(pos.sum()),), 16.0))
+        dec_m = mc.decode(jnp.asarray(pa.numpy()), jnp.asarray(enc_m), 16.0)
+        np.testing.assert_allclose(np.asarray(dec_m), dec_r.numpy(),
+                                   atol=1e-4)

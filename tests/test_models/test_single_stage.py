@@ -232,3 +232,101 @@ def test_atss_gfl_forward(cfg_fn):
                       jnp.ones((2, 4), jnp.float32), method='simple_test')
     assert out['dets'].shape == (2, 16, 5)
     assert np.all(np.isfinite(np.asarray(out['dets'])))
+
+
+def test_ssd_forward():
+    """SSD300 at reduced canvas: SSDVGG feature pyramid + SSD head with
+    hard-negative-mined loss (reference: ssd_head.py, ssd_vgg.py)."""
+    cfg = dict(
+        type='SingleStageDetector',
+        backbone=dict(type='SSDVGG', input_size=300, depth=16,
+                      out_indices=(3, 4), out_feature_indices=(22, 34),
+                      l2_norm_scale=20),
+        neck=None,
+        bbox_head=dict(
+            type='SSDHead', in_channels=(512, 1024, 512, 256, 256, 256),
+            num_classes=4,
+            anchor_generator=dict(
+                type='SSDAnchorGenerator', scale_major=False,
+                input_size=300, basesize_ratio_range=(0.15, 0.9),
+                strides=[8, 16, 32, 64, 100, 300],
+                ratios=[[2], [2, 3], [2, 3], [2, 3], [2], [2]]),
+            bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                            target_means=[.0, .0, .0, .0],
+                            target_stds=[0.1, 0.1, 0.2, 0.2])),
+        train_cfg=dict(
+            assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.5,
+                          neg_iou_thr=0.5, min_pos_iou=0.,
+                          ignore_iof_thr=-1, gt_max_assign_all=False),
+            smoothl1_beta=1., allowed_border=-1, pos_weight=-1,
+            neg_pos_ratio=3),
+        test_cfg=dict(nms_pre=100,
+                      nms=dict(type='nms', iou_threshold=0.45),
+                      min_bbox_size=0, score_thr=0.02, max_per_img=16))
+    model = build_detector(cfg)
+    img = jnp.zeros((1, 300, 300, 3), jnp.float32)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        img, method='forward_dummy')
+    feats = model.apply(variables, img)
+    # exact reference pyramid (ssd_vgg.py docstring)
+    assert [tuple(f.shape) for f in feats] == [
+        (1, 38, 38, 512), (1, 19, 19, 1024), (1, 10, 10, 512),
+        (1, 5, 5, 256), (1, 3, 3, 256), (1, 1, 1, 256)]
+    gt_bboxes = jnp.asarray([[[20, 20, 120, 120], [100, 40, 260, 200]]],
+                            jnp.float32)
+    shapes = jnp.asarray([[300, 300]], jnp.int32)
+    losses = model.apply(
+        variables, img, shapes, shapes, gt_bboxes,
+        jnp.ones((1, 2), bool), jnp.asarray([[1, 3]], jnp.int32), None,
+        method='forward_train', rngs={'sampling': jax.random.PRNGKey(2)})
+    assert float(losses['loss_cls']) > 0
+    assert float(losses['loss_bbox']) > 0
+    out = model.apply(variables, img, shapes,
+                      jnp.ones((1, 4), jnp.float32), method='simple_test')
+    assert out['dets'].shape == (1, 16, 5)
+
+
+def test_yolov3_forward():
+    """Darknet-53 + YOLOV3Neck + YOLOV3Head (reference: yolo_head.py,
+    darknet.py, yolo_neck.py)."""
+    cfg = dict(
+        type='YOLOV3',
+        backbone=dict(type='Darknet', depth=53, out_indices=(3, 4, 5)),
+        neck=dict(type='YOLOV3Neck', num_scales=3,
+                  in_channels=[1024, 512, 256],
+                  out_channels=[512, 256, 128]),
+        bbox_head=dict(type='YOLOV3Head', num_classes=4,
+                       in_channels=[512, 256, 128],
+                       out_channels=[1024, 512, 256]),
+        train_cfg=dict(assigner=dict(type='GridAssigner', pos_iou_thr=0.5,
+                                     neg_iou_thr=0.5, min_pos_iou=0)),
+        test_cfg=dict(nms_pre=100, min_bbox_size=0, score_thr=0.05,
+                      conf_thr=0.005,
+                      nms=dict(type='nms', iou_threshold=0.45),
+                      max_per_img=16))
+    model = build_detector(cfg)
+    img = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        img, method='forward_dummy')
+    feats = model.apply(variables, img, mutable=['batch_stats'])[0]
+    # darknet docstring shapes scaled to 128: strides 8/16/32 reversed
+    assert [tuple(f.shape) for f in feats] == [
+        (1, 4, 4, 512), (1, 8, 8, 256), (1, 16, 16, 128)]
+    gt_bboxes = jnp.asarray([[[10, 10, 60, 60], [50, 20, 120, 100]]],
+                            jnp.float32)
+    shapes = jnp.asarray([[128, 128]], jnp.int32)
+    losses, _ = model.apply(
+        variables, img, shapes, shapes, gt_bboxes,
+        jnp.ones((1, 2), bool), jnp.asarray([[1, 3]], jnp.int32), None,
+        method='forward_train', rngs={'sampling': jax.random.PRNGKey(2)},
+        mutable=['batch_stats'])
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f'{k} not finite'
+    assert float(losses['loss_conf']) > 0
+    out = model.apply(variables, img, shapes,
+                      jnp.ones((1, 4), jnp.float32), method='simple_test')
+    assert out['dets'].shape == (1, 16, 5)

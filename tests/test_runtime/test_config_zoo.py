@@ -25,9 +25,15 @@ def test_build_from_config(cfg_path):
     assert 'model' in cfg
     model = build_detector(dict(cfg.model))
     assert model is not None
-    # data pipeline must also be constructible
+    # data pipeline must also be constructible (unwrap dataset wrappers)
     from swindet_tpu.datasets.pipelines import Compose
-    Compose([dict(p) for p in cfg.data.train.pipeline])
-    Compose([dict(p) for p in cfg.data.test.pipeline])
+
+    def pipeline_of(ds):
+        while 'pipeline' not in ds:
+            ds = ds['dataset']
+        return ds['pipeline']
+
+    Compose([dict(p) for p in pipeline_of(cfg.data.train)])
+    Compose([dict(p) for p in pipeline_of(cfg.data.test)])
     # schedules must be well-formed
     assert 'optimizer' in cfg and 'lr_config' in cfg
