@@ -37,25 +37,41 @@ STRIP_W = 56     # cols (sublane-tiled in HBM: starts must be 8-aligned)
 SMALL_H = 32     # small-strip pass (most rois: level routing keeps
 SMALL_W = 40     # them at 14-28 cells; 3x fewer DMA bytes)
 
+# Strip-shape passes covering the area-bounded roi family the
+# finest_scale-56 routing produces (ext_y * ext_x ≲ 900 cells² at the
+# routed level, aspect unbounded). A roi is taken by the first pass
+# whose (sh-2, sw-9) bounds fit; elongated rois get wide/tall strips
+# so the exact XLA fallback only fires for full-width sliver boxes.
+# ext_y caps at ~102 (an 800px-tall box routes to stride-8 level 1),
+# so 112 rows suffice; ext_x caps at ~170 except level-0 slivers.
+PASSES = (
+    (SMALL_H, SMALL_W),    # 32 x 40: most rois (14-28 cells)
+    (STRIP, STRIP_W),      # 64 x 56: large near-square
+    (24, 184),             # wide: ext_y <= 22,  ext_x <= 175
+    (112, 24),             # tall: ext_y <= 110, ext_x <= 15
+)
+MAX_SH = max(p[0] for p in PASSES)
+MAX_SW = max(p[1] for p in PASSES)
 
-def _interp_matrix(coords, n_pix, origin, s, r, out_size, count):
-    """A (out_size, S): averaged linear-interp weights.
 
-    coords: (r, out_size) absolute sample positions (already clamped to
-    [0, H-1], zeroed rows for invalid/unused samples via ``coords`` = -2).
-    origin: strip start (scalar). count: per-RoI divisor — the adaptive
-    per-axis sample count (== r for fixed sampling ratios).
-    Weight w(y, cell) = max(0, 1-|y-cell|).
+def _interp_matrices(coords, n_pix, origin, s, r, out_size, count):
+    """Batched A (R, out_size, S): averaged linear-interp weights,
+    built OUTSIDE the kernel in XLA (vectorized over all rois — moving
+    this out of the per-roi Mosaic grid step cut the adaptive-sampling
+    path ~6x; the kernel keeps only strip DMA + two matmuls).
+
+    coords: (R, r, out_size) absolute sample positions (invalid/unused
+    slots marked -2). origin: (R,) strip starts. count: (R,) per-RoI
+    adaptive sample counts. Weight w(y, cell) = max(0, 1-|y-cell|).
     """
-    cells = jax.lax.broadcasted_iota(
-        jnp.int32, (out_size, s), 1).astype(jnp.float32) \
-        + origin.astype(jnp.float32)
-    org = origin.astype(jnp.float32)
-    acc = jnp.zeros((out_size, s), jnp.float32)
+    org = origin.astype(jnp.float32)[:, None, None]          # (R,1,1)
+    cells = jnp.arange(s, dtype=jnp.float32)[None, None, :] + org
+    npx = n_pix.astype(jnp.float32)[:, None, None]
+    acc = jnp.zeros((coords.shape[0], out_size, s), jnp.float32)
     for j in range(r):
-        y = coords[j][:, None]                       # (out, 1)
-        valid = (y >= -1.5)                          # invalid marked -2
-        yc = jnp.clip(y, 0.0, n_pix - 1.0)
+        y = coords[:, j, :, None]                            # (R,out,1)
+        valid = (y >= -1.5)                                  # -2 = unused
+        yc = jnp.clip(y, 0.0, npx - 1.0)
         # edge-extend into the strip: samples of extreme-aspect rois
         # (cell extent > S, aspect ≳ 5 at the assigned FPN level) clamp
         # to the strip border — the caller replaces these rois with the
@@ -64,10 +80,10 @@ def _interp_matrix(coords, n_pix, origin, s, r, out_size, count):
         yc = jnp.clip(yc, org, org + s - 1.0)
         w = jnp.maximum(0.0, 1.0 - jnp.abs(yc - cells))
         acc = acc + jnp.where(valid, w, 0.0)
-    return acc / count
+    return acc / count[:, None, None]
 
 
-def _roi_align_kernel(scal_ref, ys_ref, xs_ref, *refs,
+def _roi_align_kernel(scal_ref, ay_ref, ax_ref, *refs,
                       num_levels: int, out_size: int, r: int, c: int,
                       sh: int, sw: int):
     feat_refs = refs[:num_levels]
@@ -127,22 +143,15 @@ def _roi_align_kernel(scal_ref, ys_ref, xs_ref, *refs,
 
     @pl.when(take_i > 0)
     def _():
-        _compute(scal_ref, ys_ref, xs_ref, out_ref, strip, slot, i,
+        _compute(scal_ref, ay_ref, ax_ref, out_ref, strip, slot, i,
                  r, out_size, sh, sw)
 
 
-def _compute(scal_ref, ys_ref, xs_ref, out_ref, strip, slot, i, r,
+def _compute(scal_ref, ay_ref, ax_ref, out_ref, strip, slot, i, r,
              out_size, sh, sw):
-    h_l = scal_ref[i, 4].astype(jnp.float32)
-    w_l = scal_ref[i, 5].astype(jnp.float32)
     valid = scal_ref[i, 6]
-    y0 = scal_ref[i, 2]
-    x0 = scal_ref[i, 3]
-    g_y = scal_ref[i, 8].astype(jnp.float32)
-    g_x = scal_ref[i, 9].astype(jnp.float32)
-
-    a_y = _interp_matrix(ys_ref[0], h_l, y0, sh, r, out_size, g_y)
-    a_x = _interp_matrix(xs_ref[0], w_l, x0, sw, r, out_size, g_x)
+    a_y = ay_ref[0]                                  # (out, sh)
+    a_x = ax_ref[0]                                  # (out, sw)
 
     data = strip[slot].astype(jnp.float32)           # (S, S, C)
     t = jax.lax.dot_general(
@@ -172,16 +181,14 @@ def _roi_align_pallas_impl(feats, rois, roi_valid, strides, out_size,
     def _rup8(v):
         return (v + 7) & ~7
     padded = []
-    max_starts = []
     for f in feats:
-        my = max(f.shape[1] - STRIP, 0)
-        mx = _rup8(max(f.shape[2] - STRIP_W, 0))
-        ph = max(0, my + STRIP - f.shape[1])
-        pw = max(0, mx + STRIP_W - f.shape[2])
+        my = max(f.shape[1] - MAX_SH, 0)
+        mx = _rup8(max(f.shape[2] - MAX_SW, 0))
+        ph = max(0, my + MAX_SH - f.shape[1])
+        pw = max(0, mx + MAX_SW - f.shape[2])
         if ph or pw:
             f = jnp.pad(f, ((0, 0), (0, ph), (0, pw), (0, 0)))
         padded.append(f)
-        max_starts.append((my, mx))
     true_shapes = [(f.shape[1], f.shape[2]) for f in feats]
 
     lvl = map_roi_levels(rois, num_levels, finest_scale)
@@ -189,8 +196,6 @@ def _roi_align_pallas_impl(feats, rois, roi_valid, strides, out_size,
     # the padded extent only bounds the strip DMA start.
     h_arr = jnp.asarray([s[0] for s in true_shapes], jnp.int32)[lvl]
     w_arr = jnp.asarray([s[1] for s in true_shapes], jnp.int32)[lvl]
-    my_arr = jnp.asarray([m[0] for m in max_starts], jnp.int32)[lvl]
-    mx_arr = jnp.asarray([m[1] for m in max_starts], jnp.int32)[lvl]
     scale = 1.0 / jnp.asarray(strides, jnp.float32)[lvl]
 
     x1 = rois[:, 1] * scale - 0.5
@@ -246,13 +251,16 @@ def _roi_align_pallas_impl(feats, rois, roi_valid, strides, out_size,
             [lvl, batch, y0, x0, h_arr, w_arr, valid,
              take.astype(jnp.int32), g_y.astype(jnp.int32),
              g_x.astype(jnp.int32)], axis=-1)        # (R, 10)
+        # interpolation matrices built in XLA, batched over rois
+        ay = _interp_matrices(ys, h_arr, y0, sh, r, out_size, g_y)
+        ax = _interp_matrices(xs, w_arr, x0, sw, r, out_size, g_x)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_rois,),
             in_specs=(
-                [pl.BlockSpec((1, r, out_size), lambda i, s: (i, 0, 0),
+                [pl.BlockSpec((1, out_size, sh), lambda i, s: (i, 0, 0),
                               memory_space=pltpu.VMEM),
-                 pl.BlockSpec((1, r, out_size), lambda i, s: (i, 0, 0),
+                 pl.BlockSpec((1, out_size, sw), lambda i, s: (i, 0, 0),
                               memory_space=pltpu.VMEM)] +
                 [pl.BlockSpec(memory_space=pl.ANY)] * num_levels),
             out_specs=pl.BlockSpec((1, out_size, out_size, c),
@@ -271,20 +279,26 @@ def _roi_align_pallas_impl(feats, rois, roi_valid, strides, out_size,
             out_shape=jax.ShapeDtypeStruct(
                 (n_rois, out_size, out_size, c), feats[0].dtype),
             interpret=interpret,
-        )(scalars, ys, xs, *padded)
+        )(scalars, ay, ax, *padded)
 
-    # small strips for the common case (levels sized so rois are
-    # 14–28 cells); large strips only for the oversize tail
-    small = (ext_y <= SMALL_H - 2) & (ext_x <= SMALL_W - 9)
-    out = one_pass(SMALL_H, SMALL_W, small) + \
-        one_pass(STRIP, STRIP_W, ~small)
+    # Each roi is taken by exactly one pass (see PASSES); skipped grid
+    # steps cost ~nothing (DMA+compute predicated off), so extra passes
+    # only pay for the rois they own.
+    taken = jnp.zeros((n_rois,), bool)
+    out = None
+    for sh_p, sw_p in PASSES:
+        fits = (ext_y <= sh_p - 2) & (ext_x <= sw_p - 9) & ~taken
+        o = one_pass(sh_p, sw_p, fits)
+        out = o if out is None else out + o
+        taken = taken | fits
 
-    # Exact fallback for rois whose extent exceeds even the big strip
-    # (aspect ≳ 5 at their routed FPN level): compact up to K such rois
-    # and recompute them with the exact XLA gather path. lax.cond skips
-    # the work entirely when no roi is oversize (the common case).
-    oversize = ((ext_y > STRIP - 2) | (ext_x > STRIP_W - 9)) & (valid > 0)
-    k_cap = min(128, n_rois)
+    # Exact fallback for rois beyond every strip shape (e.g. full-width
+    # sliver boxes routed to level 0): compact up to K such rois and
+    # recompute them with the exact XLA gather path. lax.cond skips the
+    # work entirely when no roi is oversize (the overwhelmingly common
+    # case now that elongated rois have their own passes).
+    oversize = ~taken & (valid > 0)
+    k_cap = min(32, n_rois)
     sel = jnp.argsort(~oversize)[:k_cap]        # oversize-first, stable
     sel_over = jnp.take(oversize, sel)
 
