@@ -94,12 +94,27 @@ def rle_area(rle: Dict) -> float:
     return float(sum(counts[1::2]))
 
 
+def _uncompressed_counts(rle: Dict) -> np.ndarray:
+    counts = rle['counts']
+    if isinstance(counts, (bytes, str)):
+        counts = _rle_decode_counts(
+            counts if isinstance(counts, bytes) else counts.encode())
+    return np.asarray(counts, np.uint32)
+
+
 def rle_iou(dt: Sequence[Dict], gt: Sequence[Dict],
             iscrowd: Sequence[bool]) -> np.ndarray:
-    """Pairwise mask IoU via decoded bitmaps (pycocotools maskUtils.iou
-    semantics incl. crowd: union = area(dt) for crowd gt)."""
+    """Pairwise mask IoU (pycocotools maskUtils.iou semantics incl.
+    crowd: union = area(dt) for crowd gt). RLE-native in C++ when the
+    native runtime is built (swindet_tpu/native — run-list sweep, no
+    bitmap decode); numpy bitmap fallback otherwise."""
     if len(dt) == 0 or len(gt) == 0:
         return np.zeros((len(dt), len(gt)))
+    from .. import native
+    if native.available():
+        return native.rle_iou([_uncompressed_counts(d) for d in dt],
+                              [_uncompressed_counts(g) for g in gt],
+                              [bool(c) for c in iscrowd])
     dmasks = [rle_to_mask(d) for d in dt]
     gmasks = [rle_to_mask(g) for g in gt]
     out = np.zeros((len(dt), len(gt)))
@@ -140,6 +155,11 @@ def paste_masks(mask_probs: np.ndarray, boxes: np.ndarray,
 
     Returns (N, img_h, img_w) bool.
     """
+    from .. import native
+    if native.available() and len(mask_probs):
+        return native.paste_masks(np.asarray(mask_probs, np.float32),
+                                  np.asarray(boxes, np.float32),
+                                  img_h, img_w, threshold)
     n, s, _ = mask_probs.shape
     out = np.zeros((n, img_h, img_w), bool)
     for i in range(n):

@@ -1,0 +1,136 @@
+"""Native (C++) mask runtime — build-on-first-use, ctypes-loaded.
+
+The TPU framework's counterpart of pycocotools' C extension: the segm
+eval host path (RLE codec / pairwise mask IoU / paste-to-canvas) runs
+in optimized C++ (rle_ops.cpp) when a toolchain is present, with
+bit-identical numpy fallbacks in core/masks.py when it is not.
+
+The shared object is compiled once into ~/.cache/swindet_tpu/native
+(keyed by source hash) with plain ``g++ -O3 -shared -fPIC`` — no
+pybind11/pip needed; the ABI is C with numpy buffers.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import os.path as osp
+import subprocess
+
+import numpy as np
+
+_SRC = osp.join(osp.dirname(__file__), 'rle_ops.cpp')
+_LIB = None
+_TRIED = False
+
+
+def _build_and_load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get('SWINDET_NO_NATIVE'):
+        return None
+    try:
+        with open(_SRC, 'rb') as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:16]
+        cache = osp.join(osp.expanduser('~'), '.cache', 'swindet_tpu',
+                         'native')
+        os.makedirs(cache, exist_ok=True)
+        so = osp.join(cache, f'rle_ops_{tag}.so')
+        if not osp.exists(so):
+            tmp = so + f'.tmp{os.getpid()}'
+            subprocess.run(
+                ['g++', '-O3', '-march=native', '-std=c++17', '-shared',
+                 '-fPIC', _SRC, '-o', tmp],
+                check=True, capture_output=True)
+            os.replace(tmp, so)
+        lib = ctypes.CDLL(so)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        i64 = ctypes.c_int64
+        lib.rle_decode.argtypes = [u32p, i64, u8p, i64]
+        lib.rle_encode.argtypes = [u8p, i64, u32p]
+        lib.rle_encode.restype = i64
+        lib.rle_iou.argtypes = [u32p, i64p, i64, u32p, i64p, i64,
+                                u8p, f64p]
+        lib.paste_masks.argtypes = [f32p, i64, i64, f32p, i64, i64,
+                                    ctypes.c_float, u8p]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _build_and_load() is not None
+
+
+def _as(arr, dtype):
+    return np.ascontiguousarray(arr, dtype=dtype)
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def rle_decode(counts: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Uncompressed counts → (h, w) bool mask (column-major runs)."""
+    lib = _build_and_load()
+    counts = _as(counts, np.uint32)
+    out = np.empty(h * w, np.uint8)
+    lib.rle_decode(_ptr(counts, ctypes.c_uint32), len(counts),
+                   _ptr(out, ctypes.c_uint8), h * w)
+    return out.reshape(w, h).T.astype(bool)
+
+
+def rle_encode(mask: np.ndarray) -> np.ndarray:
+    """(h, w) mask → uncompressed counts (column-major runs)."""
+    lib = _build_and_load()
+    flat = _as(mask.T.reshape(-1), np.uint8)
+    out = np.empty(flat.size + 1, np.uint32)
+    n = lib.rle_encode(_ptr(flat, ctypes.c_uint8), flat.size,
+                       _ptr(out, ctypes.c_uint32))
+    return out[:n].copy()
+
+
+def rle_iou(dt_counts_list, gt_counts_list, iscrowd) -> np.ndarray:
+    """Pairwise IoU from uncompressed counts lists (crowd gt: union =
+    area(dt), pycocotools semantics)."""
+    lib = _build_and_load()
+    n_dt, n_gt = len(dt_counts_list), len(gt_counts_list)
+    if n_dt == 0 or n_gt == 0:
+        return np.zeros((n_dt, n_gt))
+    dt = _as(np.concatenate([_as(c, np.uint32)
+                             for c in dt_counts_list]), np.uint32)
+    gt = _as(np.concatenate([_as(c, np.uint32)
+                             for c in gt_counts_list]), np.uint32)
+    dt_off = np.zeros(n_dt + 1, np.int64)
+    np.cumsum([len(c) for c in dt_counts_list], out=dt_off[1:])
+    gt_off = np.zeros(n_gt + 1, np.int64)
+    np.cumsum([len(c) for c in gt_counts_list], out=gt_off[1:])
+    crowd = _as(np.asarray(iscrowd), np.uint8)
+    out = np.empty((n_dt, n_gt), np.float64)
+    lib.rle_iou(_ptr(dt, ctypes.c_uint32), _ptr(dt_off, ctypes.c_int64),
+                n_dt, _ptr(gt, ctypes.c_uint32),
+                _ptr(gt_off, ctypes.c_int64), n_gt,
+                _ptr(crowd, ctypes.c_uint8),
+                _ptr(out, ctypes.c_double))
+    return out
+
+
+def paste_masks(mask_probs: np.ndarray, boxes: np.ndarray, img_h: int,
+                img_w: int, threshold: float = 0.5) -> np.ndarray:
+    """(n, s, s) probs + (n, 4) boxes → (n, img_h, img_w) bool."""
+    lib = _build_and_load()
+    n, s, _ = mask_probs.shape
+    probs = _as(mask_probs, np.float32)
+    bx = _as(boxes[:, :4], np.float32)
+    out = np.empty((n, img_h, img_w), np.uint8)
+    lib.paste_masks(_ptr(probs, ctypes.c_float), n, s,
+                    _ptr(bx, ctypes.c_float), img_h, img_w,
+                    float(threshold), _ptr(out, ctypes.c_uint8))
+    return out.view(bool)   # same itemsize — no 100MB-scale copy
