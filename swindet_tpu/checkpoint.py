@@ -251,10 +251,24 @@ def save_checkpoint(path: str, variables: Dict, meta: Optional[dict] = None,
 
 
 def load_native_checkpoint(path: str) -> Tuple[Dict, dict]:
+    """Restore inference variables from either a plain-variables
+    checkpoint or a runner TrainState checkpoint (epoch_N / latest —
+    params + model_state pulled out; EMA params preferred when
+    present, matching the eval-hook behavior)."""
     import orbax.checkpoint as ocp
     ckptr = ocp.PyTreeCheckpointer()
     payload = ckptr.restore(osp.abspath(path))
-    return payload['variables'], payload.get('meta', {})
+    meta = payload.get('meta', {})
+    if 'variables' in payload:
+        return payload['variables'], meta
+    if 'state' in payload:
+        st = payload['state']
+        params = st.get('ema_params') or st['params']
+        variables = {'params': params, **(st.get('model_state') or {})}
+        return variables, meta
+    raise KeyError(
+        f'unrecognized checkpoint layout at {path}: keys '
+        f'{sorted(payload)}')
 
 
 def load_checkpoint(module, variables, filename: str,

@@ -141,7 +141,7 @@ def eval_map(det_results: List[List[np.ndarray]],
             ap=float(ap)))
     aps = [r['ap'] for r in eval_results if r['num_gts'] > 0]
     mean_ap = float(np.mean(aps)) if aps else 0.0
-    if logger is not None:
+    if logger is not None and logger != 'silent':
         logger.info(f'mAP@{iou_thr}: {mean_ap:.4f}')
     return mean_ap, eval_results
 

@@ -454,3 +454,102 @@ class ContrastTransform:
         out = mean + self.factor * (img.astype(np.float32) - mean)
         results['img'] = np.clip(out, 0, 255).astype(img.dtype)
         return results
+
+
+# --------------------------------------------------------- corruptions
+def _corrupt_image(img: np.ndarray, name: str, severity: int,
+                   rng) -> np.ndarray:
+    """Native implementations of the imagecorruptions benchmark formulas
+    (reference: the `imagecorruptions` package the reference's Corrupt
+    transform wraps, transforms.py:1555). img: uint8 BGR."""
+    x = img.astype(np.float32) / 255.0
+    s = severity - 1
+
+    if name == 'gaussian_noise':
+        c = [.08, .12, 0.18, 0.26, 0.38][s]
+        x = x + rng.normal(size=x.shape) * c
+    elif name == 'shot_noise':
+        c = [60, 25, 12, 5, 3][s]
+        x = rng.poisson(np.clip(x, 0, 1) * c) / float(c)
+    elif name == 'impulse_noise':
+        c = [.03, .06, .09, 0.17, 0.27][s]
+        m = rng.rand(*x.shape[:2])
+        x[m < c / 2] = 0.0
+        x[(m >= c / 2) & (m < c)] = 1.0
+    elif name == 'speckle_noise':
+        c = [.15, .2, 0.35, 0.45, 0.6][s]
+        x = x + x * rng.normal(size=x.shape) * c
+    elif name == 'gaussian_blur':
+        c = [1, 2, 3, 4, 6][s]
+        x = cv2.GaussianBlur(x, (0, 0), c)
+    elif name == 'defocus_blur':
+        c = [(3, 0.1), (4, 0.5), (6, 0.5), (8, 0.5), (10, 0.5)][s]
+        k = np.zeros((2 * c[0] + 1, 2 * c[0] + 1), np.float32)
+        cv2.circle(k, (c[0], c[0]), c[0], 1.0, -1)
+        k /= k.sum()
+        x = cv2.filter2D(x, -1, k)
+    elif name == 'motion_blur':
+        c = [(10, 3), (15, 5), (15, 8), (15, 12), (20, 15)][s]
+        k = np.zeros((c[0], c[0]), np.float32)
+        k[c[0] // 2, :] = 1.0 / c[0]
+        angle = rng.uniform(-45, 45)
+        rot = cv2.getRotationMatrix2D((c[0] / 2, c[0] / 2), angle, 1)
+        k = cv2.warpAffine(k, rot, (c[0], c[0]))
+        k /= max(k.sum(), 1e-6)
+        x = cv2.filter2D(x, -1, k)
+    elif name == 'brightness':
+        c = [.1, .2, .3, .4, .5][s]
+        x = x + c
+    elif name == 'contrast':
+        c = [0.4, .3, .2, .1, .05][s]
+        means = x.mean(axis=(0, 1), keepdims=True)
+        x = (x - means) * c + means
+    elif name == 'saturate':
+        c = [(0.3, 0), (0.1, 0), (2, 0), (5, 0.1), (20, 0.2)][s]
+        hsv = cv2.cvtColor((np.clip(x, 0, 1) * 255).astype(np.uint8),
+                           cv2.COLOR_BGR2HSV).astype(np.float32)
+        hsv[..., 1] = np.clip(hsv[..., 1] * c[0] + c[1] * 255, 0, 255)
+        x = cv2.cvtColor(hsv.astype(np.uint8),
+                         cv2.COLOR_HSV2BGR).astype(np.float32) / 255.0
+    elif name == 'jpeg_compression':
+        c = [25, 18, 15, 10, 7][s]
+        ok, enc = cv2.imencode(
+            '.jpg', img, [int(cv2.IMWRITE_JPEG_QUALITY), c])
+        x = cv2.imdecode(enc, cv2.IMREAD_COLOR).astype(np.float32) / 255.
+    elif name == 'pixelate':
+        c = [0.6, 0.5, 0.4, 0.3, 0.25][s]
+        h, w = x.shape[:2]
+        small = cv2.resize(x, (max(int(w * c), 1), max(int(h * c), 1)),
+                           interpolation=cv2.INTER_AREA)
+        x = cv2.resize(small, (w, h), interpolation=cv2.INTER_NEAREST)
+    else:
+        raise KeyError(
+            f'corruption "{name}" not implemented natively (snow/frost/'
+            f'fog/glass_blur/zoom_blur/elastic need the imagecorruptions '
+            f'package assets, absent from this environment)')
+    return (np.clip(x, 0, 1) * 255).astype(np.uint8)
+
+
+@PIPELINES.register_module()
+class Corrupt:
+    """Benchmark corruption transform (reference: transforms.py:1555
+    Corrupt). 12 of the 15+4 imagecorruptions types implemented
+    natively; see _corrupt_image for the unsupported remainder."""
+
+    BENCHMARK = ('gaussian_noise', 'shot_noise', 'impulse_noise',
+                 'defocus_blur', 'motion_blur', 'brightness', 'contrast',
+                 'jpeg_compression', 'pixelate', 'gaussian_blur',
+                 'speckle_noise', 'saturate')
+
+    def __init__(self, corruption: str, severity: int = 1):
+        self.corruption = corruption
+        self.severity = severity
+
+    def __call__(self, results):
+        if self.severity == 0:
+            return results
+        rng = results.setdefault('_rng', np.random)
+        results['img'] = _corrupt_image(
+            results['img'].astype(np.uint8), self.corruption,
+            self.severity, rng)
+        return results
