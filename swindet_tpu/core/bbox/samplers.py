@@ -56,6 +56,8 @@ def _ranked_select(mask: jnp.ndarray, keys: jnp.ndarray,
 class RandomSampler:
     """Uniform random pos/neg sampling (reference: random_sampler.py:8)."""
 
+    USE_HARDNESS = False
+
     def __init__(self, num: int, pos_fraction: float,
                  neg_pos_ub: int = -1, add_gt_as_proposals: bool = True,
                  **kwargs):
@@ -71,7 +73,8 @@ class RandomSampler:
                gt_bboxes: jnp.ndarray,
                gt_valid: jnp.ndarray,
                gt_labels: Optional[jnp.ndarray] = None,
-               bbox_valid: Optional[jnp.ndarray] = None) -> SamplingResult:
+               bbox_valid: Optional[jnp.ndarray] = None,
+               hardness: Optional[jnp.ndarray] = None) -> SamplingResult:
         """Sample ``self.num`` slots from candidates.
 
         bboxes: (P, 4) proposals; when ``add_gt_as_proposals`` the candidate
@@ -97,8 +100,13 @@ class RandomSampler:
             neg_mask &= full_valid
 
         k_pos, k_neg, k_tie = jax.random.split(rng, 3)
-        keys_pos = jax.random.uniform(k_pos, (n,))
-        keys_neg = jax.random.uniform(k_neg, (n,))
+        if self.USE_HARDNESS and hardness is not None:
+            # OHEM: rank by per-candidate loss instead of random keys
+            # (reference: ohem_sampler.py hard_mining — topk CE loss)
+            keys_pos = keys_neg = hardness
+        else:
+            keys_pos = jax.random.uniform(k_pos, (n,))
+            keys_neg = jax.random.uniform(k_neg, (n,))
 
         num_expected_pos = int(self.num * self.pos_fraction)
         sel_pos = _ranked_select(pos_mask, keys_pos, num_expected_pos)
@@ -173,3 +181,17 @@ class PseudoSampler:
             pos_gt_labels=labels, pos_gt_inds=pos_gt_inds.astype(jnp.int32),
             num_pos=jnp.sum(pos_mask).astype(jnp.int32),
             num_neg=jnp.sum(neg_mask).astype(jnp.int32))
+
+
+@BBOX_SAMPLERS.register_module()
+class OHEMSampler(RandomSampler):
+    """Online Hard Example Mining (reference: ohem_sampler.py:9).
+
+    TPU-native: the RoI head computes per-candidate classification loss
+    in a stop-gradient pre-pass over the FULL candidate set and hands
+    it in as ``hardness``; selection becomes rank-by-loss instead of
+    rank-by-random-key — the same top-k-loss set as the reference's
+    ``loss.topk(num_expected)``, with static shapes.
+    """
+
+    USE_HARDNESS = True

@@ -308,3 +308,116 @@ class MSELoss:
             weight = weight[..., None]
         return self.loss_weight * weight_reduce_loss(
             loss, weight, reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class BalancedL1Loss:
+    """Balanced L1 (Libra R-CNN, reference: balanced_l1_loss.py:12)."""
+
+    def __init__(self, alpha: float = 0.5, gamma: float = 1.5,
+                 beta: float = 1.0, reduction: str = 'mean',
+                 loss_weight: float = 1.0):
+        self.alpha = alpha
+        self.gamma = gamma
+        self.beta = beta
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kwargs):
+        import numpy as np
+        reduction = reduction_override or self.reduction
+        diff = jnp.abs(pred.astype(jnp.float32)
+                       - target.astype(jnp.float32))
+        b = np.e ** (self.gamma / self.alpha) - 1
+        loss = jnp.where(
+            diff < self.beta,
+            self.alpha / b * (b * diff + 1)
+            * jnp.log(b * diff / self.beta + 1) - self.alpha * diff,
+            self.gamma * diff + self.gamma / b
+            - self.alpha * self.beta)
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, reduction, avg_factor)
+
+
+def _ghm_weights(g, valid, bins, tot):
+    """Gradient-density harmonizing weights (reference: ghm_loss.py
+    :78-90, momentum=0 path), vectorized: histogram by segment-sum,
+    weight = tot / count[bin] / n_nonempty_bins."""
+    bin_idx = jnp.clip((g * bins).astype(jnp.int32), 0, bins - 1)
+    counts = jnp.zeros((bins,), jnp.float32).at[bin_idx].add(
+        valid.astype(jnp.float32))
+    n_valid_bins = jnp.sum(counts > 0).astype(jnp.float32)
+    w = jnp.where(valid & (jnp.take(counts, bin_idx) > 0),
+                  tot / jnp.maximum(jnp.take(counts, bin_idx), 1.0), 0.0)
+    return w / jnp.maximum(n_valid_bins, 1.0)
+
+
+@LOSSES.register_module()
+class GHMC:
+    """GHM classification loss (reference: ghm_loss.py:21; momentum=0
+    exactly — the running acc_sum variant needs mutable state and is
+    approximated by per-batch densities, which momentum=0 IS)."""
+
+    def __init__(self, bins: int = 10, momentum: float = 0,
+                 use_sigmoid: bool = True, loss_weight: float = 1.0):
+        assert use_sigmoid
+        self.bins = bins
+        self.momentum = momentum
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, label_weight=None, weight=None,
+                 avg_factor=None, **kwargs):
+        pred = pred.astype(jnp.float32)
+        if label_weight is None:
+            label_weight = weight if weight is not None else \
+                jnp.ones_like(pred)
+        if target.ndim == pred.ndim - 1:
+            lw = label_weight
+            if lw.ndim == pred.ndim - 1:
+                lw = jnp.broadcast_to(lw[..., None], pred.shape)
+            target = _expand_onehot(target, pred.shape[-1])
+            label_weight = lw
+        target = target.astype(jnp.float32)
+        valid = label_weight > 0
+        tot = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+        g = jnp.abs(jax.lax.stop_gradient(jax.nn.sigmoid(pred)) - target)
+        w = _ghm_weights(g.reshape(-1), valid.reshape(-1), self.bins,
+                         tot).reshape(pred.shape)
+        loss = jnp.sum(_bce_with_logits(pred, target) * w) / tot
+        return self.loss_weight * loss
+
+
+@LOSSES.register_module()
+class GHMR:
+    """GHM regression loss — ASL1 with gradient harmonizing
+    (reference: ghm_loss.py:100)."""
+
+    def __init__(self, mu: float = 0.02, bins: int = 10,
+                 momentum: float = 0, loss_weight: float = 1.0):
+        self.mu = mu
+        self.bins = bins
+        self.momentum = momentum
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, label_weight=None, weight=None,
+                 avg_factor=None, **kwargs):
+        pred = pred.astype(jnp.float32)
+        target = target.astype(jnp.float32)
+        if label_weight is None:
+            label_weight = weight if weight is not None else \
+                jnp.ones_like(pred)
+        if label_weight.ndim == pred.ndim - 1:
+            label_weight = jnp.broadcast_to(label_weight[..., None],
+                                            pred.shape)
+        mu = self.mu
+        diff = pred - target
+        loss = jnp.sqrt(diff * diff + mu * mu) - mu
+        g = jnp.abs(jax.lax.stop_gradient(
+            diff / jnp.sqrt(mu * mu + diff * diff)))
+        valid = label_weight > 0
+        tot = jnp.maximum(jnp.sum(label_weight.astype(jnp.float32)), 1.0)
+        w = _ghm_weights(g.reshape(-1), valid.reshape(-1), self.bins,
+                         tot).reshape(pred.shape)
+        loss = jnp.sum(loss * w) / tot
+        return self.loss_weight * loss

@@ -1,5 +1,6 @@
 from .fpn import FPN
 from .pafpn import PAFPN
 from .yolo_neck import YOLOV3Neck
+from .hrfpn import HRFPN
 
-__all__ = ['FPN', 'PAFPN', 'YOLOV3Neck']
+__all__ = ['FPN', 'PAFPN', 'YOLOV3Neck', 'HRFPN']

@@ -65,6 +65,44 @@ class StandardRoIHead(nn.Module):
             outs += (self._mask_head(self._mask_extractor(feats, rois)),)
         return outs
 
+    # ----------------------------------------------------------------- ohem
+    def _ohem_hardness(self, feats, proposals, gt_bboxes, gt_valid,
+                       gt_labels, proposal_valid):
+        """Per-candidate classification loss for OHEM ranking
+        (reference: ohem_sampler.py:30 hard_mining — a no-grad bbox
+        forward over the candidate set + CE vs assigned labels).
+        Candidate layout matches the sampler: [gt | proposals]."""
+        b, p = proposals.shape[:2]
+        if self._sampler.add_gt_as_proposals:
+            cands = jnp.concatenate([gt_bboxes[:, :, :4], proposals], 1)
+        else:
+            cands = proposals
+        n = cands.shape[1]
+
+        def assign_labels(props, pvalid, gb, gv, gl):
+            assign = self._assigner.assign(props, gb, gv, gl,
+                                           bbox_valid=pvalid)
+            if self._sampler.add_gt_as_proposals:
+                from ...core.bbox.assigners import add_gt_as_candidates
+                assign = add_gt_as_candidates(assign, gv, gl)
+            pos = assign.gt_inds > 0
+            return jnp.where(pos, jnp.clip(assign.labels, 0),
+                             self._bbox_head.num_classes)
+
+        labels = jax.vmap(assign_labels)(
+            proposals, proposal_valid, gt_bboxes, gt_valid, gt_labels)
+
+        batch_col = jnp.repeat(np.arange(b, dtype=np.float32), n)
+        rois = jnp.concatenate(
+            [batch_col[:, None], cands.reshape(-1, 4)], axis=-1)
+        cls_score, _ = self._bbox_head(self._bbox_extractor(feats, rois))
+        cls_score = jax.lax.stop_gradient(
+            cls_score.astype(jnp.float32))
+        logp = jax.nn.log_softmax(cls_score, axis=-1)
+        ce = -jnp.take_along_axis(
+            logp, labels.reshape(-1)[:, None], axis=-1)[:, 0]
+        return ce.reshape(b, n)
+
     # ---------------------------------------------------------------- train
     def forward_train(self, rng, feats, proposals, proposal_valid,
                       gt_bboxes, gt_valid, gt_labels, gt_masks,
@@ -74,15 +112,24 @@ class StandardRoIHead(nn.Module):
         b, p = proposals.shape[:2]
         num = self._sampler.num
 
-        def assign_sample(r, props, pvalid, gb, gv, gl):
+        hardness = None
+        if getattr(self._sampler, 'USE_HARDNESS', False):
+            hardness = self._ohem_hardness(feats, proposals, gt_bboxes,
+                                           gt_valid, gt_labels,
+                                           proposal_valid)
+
+        def assign_sample(r, props, pvalid, gb, gv, gl, hard):
             assign = self._assigner.assign(props, gb, gv, gl,
                                            bbox_valid=pvalid)
             return self._sampler.sample(r, assign, props, gb, gv, gl,
-                                        bbox_valid=pvalid)
+                                        bbox_valid=pvalid, hardness=hard)
 
         rngs = jax.random.split(rng, b)
         samp: SamplingResult = jax.vmap(assign_sample)(
-            rngs, proposals, proposal_valid, gt_bboxes, gt_valid, gt_labels)
+            rngs, proposals, proposal_valid, gt_bboxes, gt_valid,
+            gt_labels,
+            hardness if hardness is not None
+            else jnp.zeros((b, 1)))
 
         # rois (B*num, 5) with batch index col
         batch_col = jnp.repeat(np.arange(b, dtype=np.float32), num)

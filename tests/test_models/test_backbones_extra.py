@@ -1,0 +1,72 @@
+"""HRNet/HRFPN, Res2Net, RegNet backbone tests (reference:
+tests/test_models/test_backbones.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from swindet_tpu.models.backbones import HRNet, RegNet, Res2Net
+from swindet_tpu.models.necks import HRFPN
+
+TINY_HRNET_EXTRA = dict(
+    stage1=dict(num_modules=1, num_branches=1, block='BOTTLENECK',
+                num_blocks=(2,), num_channels=(16,)),
+    stage2=dict(num_modules=1, num_branches=2, block='BASIC',
+                num_blocks=(2, 2), num_channels=(8, 16)),
+    stage3=dict(num_modules=2, num_branches=3, block='BASIC',
+                num_blocks=(2, 2, 2), num_channels=(8, 16, 32)),
+    stage4=dict(num_modules=1, num_branches=4, block='BASIC',
+                num_blocks=(2, 2, 2, 2), num_channels=(8, 16, 32, 64)))
+
+
+def test_hrnet_hrfpn_shapes():
+    m = HRNet(extra=TINY_HRNET_EXTRA)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    # 4 branches at strides 4/8/16/32 with the configured widths
+    assert [tuple(o.shape) for o in outs] == [
+        (1, 16, 16, 8), (1, 8, 8, 16), (1, 4, 4, 32), (1, 2, 2, 64)]
+
+    neck = HRFPN(in_channels=[8, 16, 32, 64], out_channels=16,
+                 num_outs=5)
+    nv = neck.init(jax.random.PRNGKey(0), outs)
+    nouts = neck.apply(nv, outs)
+    assert len(nouts) == 5
+    assert nouts[0].shape == (1, 16, 16, 16)
+    assert nouts[4].shape == (1, 1, 1, 16)
+
+
+def test_res2net_shapes():
+    m = Res2Net(depth=50, base_channels=16, base_width=7)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert [o.shape[-1] for o in outs] == [64, 128, 256, 512]
+    assert outs[0].shape[1] == 16
+
+
+def test_regnet_published_widths():
+    """regnetx_400mf must reproduce the published per-stage widths
+    (reference: regnet.py arch_settings + pycls)."""
+    m = RegNet(arch='regnetx_400mf')
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert [o.shape[-1] for o in outs] == [32, 64, 160, 384]
+    m2 = RegNet(arch='regnetx_3.2gf')
+    v2 = m2.init(jax.random.PRNGKey(0), x)
+    outs2 = m2.apply(v2, x)
+    assert [o.shape[-1] for o in outs2] == [96, 192, 432, 1008]
+
+
+def test_regnet_width_generation_parity():
+    from swindet_tpu.models.backbones.regnet import (adjust_width_group,
+                                                     generate_regnet,
+                                                     stages_from_blocks)
+    widths, num_stages = generate_regnet(88, 26.31, 2.25, 25)
+    assert num_stages == 4
+    sw, sb = stages_from_blocks(widths)
+    sw, gw = adjust_width_group(sw, [1.0] * 4, [48] * 4)
+    assert sw == [96, 192, 432, 1008]
+    assert sum(sb) == 25
