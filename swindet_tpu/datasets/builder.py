@@ -146,6 +146,21 @@ def collate_detection(samples: List[dict],
                  gt_labels=gt_labels)
     if with_mask:
         batch['gt_masks'] = gt_masks
+    # semantic seg maps (HTC): per-sample scale inferred from the first
+    # sample; padded with the 255 ignore label
+    if any('gt_semantic_seg' in s for s in samples):
+        s0 = next(s for s in samples if 'gt_semantic_seg' in s)
+        seg_stride = max(
+            round(samples[0]['img'].shape[0]
+                  / s0['gt_semantic_seg'].shape[0]), 1)
+        sh, sw = ch // seg_stride, cw // seg_stride
+        seg = np.full((b, sh, sw), 255, np.uint8)
+        for i, s in enumerate(samples):
+            if 'gt_semantic_seg' in s:
+                g = s['gt_semantic_seg']
+                seg[i, :g.shape[0], :g.shape[1]] = \
+                    g[:sh, :sw]
+        batch['gt_semantic_seg'] = seg
     batch['img_metas'] = metas
     return batch
 

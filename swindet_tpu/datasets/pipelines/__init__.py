@@ -7,7 +7,7 @@ from .transforms import (PIPELINES, Compose, LoadImageFromFile,
 
 from .extra_augs import (Expand, MinIoURandomCrop, CutOut, Shear, Rotate,
                          Translate, ColorTransform, EqualizeTransform,
-                         BrightnessTransform, ContrastTransform, Corrupt)
+                         BrightnessTransform, ContrastTransform, Corrupt, SegRescale)
 
 __all__ = [
     'PIPELINES', 'Compose', 'LoadImageFromFile', 'LoadImageFromWebcam',
@@ -16,5 +16,5 @@ __all__ = [
     'MultiScaleFlipAug', 'ImageToTensor', 'DefaultFormatBundle', 'Collect',
     'FilterAnnotations', 'Expand', 'MinIoURandomCrop', 'CutOut', 'Shear',
     'Rotate', 'Translate', 'ColorTransform', 'EqualizeTransform',
-    'BrightnessTransform', 'ContrastTransform', 'Corrupt',
+    'BrightnessTransform', 'ContrastTransform', 'Corrupt', 'SegRescale',
 ]

@@ -553,3 +553,23 @@ class Corrupt:
             results['img'].astype(np.uint8), self.corruption,
             self.severity, rng)
         return results
+
+
+@PIPELINES.register_module()
+class SegRescale:
+    """Rescale semantic seg maps by scale_factor (reference:
+    transforms.py:880 SegRescale; HTC trains the semantic branch at
+    1/8 resolution)."""
+
+    def __init__(self, scale_factor: float = 1):
+        self.scale_factor = scale_factor
+
+    def __call__(self, results):
+        for key in results.get('seg_fields', []):
+            if self.scale_factor != 1:
+                seg = results[key]
+                h = int(seg.shape[0] * self.scale_factor + 0.5)
+                w = int(seg.shape[1] * self.scale_factor + 0.5)
+                results[key] = cv2.resize(
+                    seg, (w, h), interpolation=cv2.INTER_NEAREST)
+        return results

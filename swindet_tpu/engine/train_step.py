@@ -79,6 +79,8 @@ def make_train_step(module, tx: optax.GradientTransformation,
             args = (batch['img'], batch['img_shapes'], batch['pad_shapes'],
                     batch['gt_bboxes'], batch['gt_valid'],
                     batch['gt_labels'], batch.get('gt_masks'))
+            if 'gt_semantic_seg' in batch:   # HTC semantic branch
+                args = args + (batch['gt_semantic_seg'],)
             rngs = {'sampling': samp_rng, 'dropout': drop_rng}
             if mutable:
                 losses, new_ms = module.apply(

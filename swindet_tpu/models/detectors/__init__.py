@@ -1,8 +1,8 @@
-from .two_stage import (CascadeRCNN, FasterRCNN, MaskRCNN,
+from .two_stage import (CascadeRCNN, FasterRCNN, HybridTaskCascade, MaskRCNN,
                         TwoStageDetector)
 from .single_stage import (ATSS, FCOS, GFL, RepPointsDetector, RetinaNet, YOLOV3,
                            SingleStageDetector)
 
-__all__ = ['CascadeRCNN', 'FasterRCNN', 'MaskRCNN', 'TwoStageDetector',
+__all__ = ['CascadeRCNN', 'FasterRCNN', 'HybridTaskCascade', 'MaskRCNN', 'TwoStageDetector',
            'ATSS', 'FCOS', 'GFL', 'RepPointsDetector', 'RetinaNet',
            'SingleStageDetector', 'YOLOV3']

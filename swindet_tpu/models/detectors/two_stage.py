@@ -84,8 +84,8 @@ class TwoStageDetector(nn.Module):
 
     # ---------------------------------------------------------------- train
     def forward_train(self, img, img_shapes, pad_shapes, gt_bboxes,
-                      gt_valid, gt_labels,
-                      gt_masks=None) -> Dict[str, jnp.ndarray]:
+                      gt_valid, gt_labels, gt_masks=None,
+                      gt_semantic_seg=None) -> Dict[str, jnp.ndarray]:
         """(reference: two_stage.py:105). Shapes:
         img (B,H,W,3) · img/pad_shapes (B,2) · gt_bboxes (B,G,4) ·
         gt_valid (B,G) · gt_labels (B,G) · gt_masks (B,G,H,W)|None."""
@@ -106,9 +106,12 @@ class TwoStageDetector(nn.Module):
             cls_scores, bbox_preds, img_shapes, dict(proposal_cfg))
         proposals = jax.lax.stop_gradient(proposals)
 
+        roi_kwargs = {}
+        if gt_semantic_seg is not None:
+            roi_kwargs['gt_semantic_seg'] = gt_semantic_seg
         losses.update(self._roi_head.forward_train(
             rcnn_rng, feats, proposals, prop_valid, gt_bboxes, gt_valid,
-            gt_labels, gt_masks, img_shapes))
+            gt_labels, gt_masks, img_shapes, **roi_kwargs))
         return losses
 
     # ----------------------------------------------------------------- test
@@ -163,3 +166,9 @@ class MaskRCNN(TwoStageDetector):
 @DETECTORS.register_module()
 class FasterRCNN(TwoStageDetector):
     """(reference: faster_rcnn.py)."""
+
+
+@DETECTORS.register_module()
+class HybridTaskCascade(CascadeRCNN):
+    """(reference: detectors/htc.py) — semantic-aware cascade; the base
+    forward_train already plumbs gt_semantic_seg through."""

@@ -4,7 +4,10 @@ from .bbox_heads import (BBoxHead, ConvFCBBoxHead, Shared2FCBBoxHead,
 from .mask_heads import FCNMaskHead
 from .standard_roi_head import StandardRoIHead
 from .cascade_roi_head import CascadeRoIHead
+from .htc_roi_head import (FusedSemanticHead, HTCMaskHead,
+                           HybridTaskCascadeRoIHead)
 
 __all__ = ['SingleRoIExtractor', 'BBoxHead', 'ConvFCBBoxHead',
-           'Shared2FCBBoxHead', 'Shared4Conv1FCBBoxHead', 'FCNMaskHead', 'CascadeRoIHead',
-           'StandardRoIHead']
+           'Shared2FCBBoxHead', 'Shared4Conv1FCBBoxHead', 'FCNMaskHead',
+           'CascadeRoIHead', 'StandardRoIHead', 'FusedSemanticHead',
+           'HTCMaskHead', 'HybridTaskCascadeRoIHead']

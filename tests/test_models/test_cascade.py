@@ -135,3 +135,61 @@ def test_cascade_simple_test(cascade_setup):
     assert out['dets'].shape == (2, 16, 5)
     assert out['mask_probs'].shape[:2] == (2, 16)
     assert np.all(np.isfinite(np.asarray(out['dets'])))
+
+
+def tiny_htc_cfg(with_semantic=True):
+    """HTC graph scaled tiny (reference: configs/htc/htc_r50_fpn_1x)."""
+    base = tiny_cascade_cfg()
+    rh = base['roi_head']
+    rh['type'] = 'HybridTaskCascadeRoIHead'
+    rh['interleaved'] = True
+    rh['mask_info_flow'] = True
+    mh = rh['mask_head']
+    if not isinstance(mh, (list, tuple)):
+        mh = [dict(mh) for _ in range(3)]
+    for i, h in enumerate(mh):
+        h['type'] = 'HTCMaskHead'
+        h['with_conv_res'] = i > 0
+    rh['mask_head'] = mh
+    if with_semantic:
+        out_ch = rh['bbox_roi_extractor']['out_channels']
+        rh['semantic_roi_extractor'] = dict(
+            type='SingleRoIExtractor',
+            roi_layer=dict(type='RoIAlign', output_size=14,
+                           sampling_ratio=0),
+            out_channels=out_ch, featmap_strides=[8])
+        rh['semantic_head'] = dict(
+            type='FusedSemanticHead', num_ins=5, fusion_level=1,
+            num_convs=2, in_channels=out_ch, conv_out_channels=out_ch,
+            num_classes=8, ignore_label=255, loss_weight=0.2)
+    base['type'] = 'HybridTaskCascade'
+    return base
+
+
+def test_htc_forward():
+    import numpy as np
+    model = build_detector(tiny_htc_cfg())
+    batch = demo_inputs(b=2, h=64, w=64)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'][:1], method='forward_dummy')
+    seg = np.zeros((2, 8, 8), np.uint8)
+    seg[:, 2:5, 2:5] = 3
+    losses = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], batch['gt_masks'], jnp.asarray(seg),
+        method='forward_train', rngs={'sampling': jax.random.PRNGKey(2)})
+    assert 'loss_semantic_seg' in losses
+    for s in range(3):
+        assert f's{s}.loss_cls' in losses
+        assert f's{s}.loss_mask' in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f'{k} not finite'
+    out = model.apply(variables, batch['img'], batch['img_shapes'],
+                      jnp.ones((2, 4), jnp.float32),
+                      method='simple_test')
+    assert out['dets'].shape[0] == 2
+    assert 'mask_probs' in out
+    assert np.all(np.isfinite(np.asarray(out['dets'])))
