@@ -58,6 +58,13 @@ class RandomSampler:
 
     USE_HARDNESS = False
 
+    def _pos_keys(self, rng, assign_result, pos_mask, n):
+        """Selection priority for positives (higher = earlier)."""
+        return jax.random.uniform(rng, (n,))
+
+    def _neg_keys(self, rng, assign_result, neg_mask, n):
+        return jax.random.uniform(rng, (n,))
+
     def __init__(self, num: int, pos_fraction: float,
                  neg_pos_ub: int = -1, add_gt_as_proposals: bool = True,
                  **kwargs):
@@ -105,8 +112,8 @@ class RandomSampler:
             # (reference: ohem_sampler.py hard_mining — topk CE loss)
             keys_pos = keys_neg = hardness
         else:
-            keys_pos = jax.random.uniform(k_pos, (n,))
-            keys_neg = jax.random.uniform(k_neg, (n,))
+            keys_pos = self._pos_keys(k_pos, assign_result, pos_mask, n)
+            keys_neg = self._neg_keys(k_neg, assign_result, neg_mask, n)
 
         num_expected_pos = int(self.num * self.pos_fraction)
         sel_pos = _ranked_select(pos_mask, keys_pos, num_expected_pos)
@@ -195,3 +202,76 @@ class OHEMSampler(RandomSampler):
     """
 
     USE_HARDNESS = True
+
+
+def _interleaved_keys(rng, group_ids, mask, shares=None):
+    """Priority keys that select members round-robin across groups:
+    the r-th (random-order) member of each group outranks every
+    (r+1)-th member. With ``shares`` the round-robin is weighted —
+    a group with share s advances its rank counter at rate 1/s.
+
+    Reproduces quota-per-group sampling (reference: Libra's
+    sample_via_interval / InstanceBalancedPosSampler) with static
+    shapes: top-k by these keys == per-group quotas + automatic
+    redistribution when groups run short.
+    """
+    n = group_ids.shape[0]
+    key = jax.random.uniform(rng, (n,))
+    same = group_ids[:, None] == group_ids[None, :]
+    mm = mask[:, None] & mask[None, :]
+    within_rank = jnp.sum(same & mm & (key[None, :] > key[:, None]),
+                          axis=1).astype(jnp.float32)
+    if shares is not None:
+        within_rank = within_rank / jnp.maximum(shares, 1e-6)
+    return -within_rank + 0.5 * key
+
+
+@BBOX_SAMPLERS.register_module()
+class IoUBalancedNegSampler(RandomSampler):
+    """Libra R-CNN IoU-balanced negative sampling (reference:
+    iou_balanced_neg_sampler.py:9): negatives drawn evenly from
+    ``num_bins`` IoU intervals above ``floor_thr``; sub-floor
+    negatives fill a ``floor_fraction`` share (backfill-only when 0).
+    """
+
+    def __init__(self, num, pos_fraction, floor_thr: float = -1,
+                 floor_fraction: float = 0, num_bins: int = 3, **kwargs):
+        super().__init__(num, pos_fraction, **kwargs)
+        self.floor_thr = floor_thr
+        self.floor_fraction = floor_fraction
+        self.num_bins = num_bins
+
+    def _neg_keys(self, rng, assign_result, neg_mask, n):
+        iou = assign_result.max_overlaps
+        if iou.shape[0] != n:   # gt-prepended candidates
+            iou = jnp.concatenate(
+                [jnp.ones((n - iou.shape[0],)), iou])
+        floor = max(self.floor_thr, 0.0)
+        max_iou = jnp.maximum(jnp.max(jnp.where(neg_mask, iou, 0.0)),
+                              floor + 1e-3)
+        width = (max_iou - floor) / self.num_bins
+        in_floor = iou < self.floor_thr if self.floor_thr > 0 else \
+            (iou <= 0.0 if self.floor_thr == 0 else
+             jnp.zeros_like(neg_mask))
+        bin_id = jnp.clip(((iou - floor) / width).astype(jnp.int32),
+                          0, self.num_bins - 1)
+        # floor set = group -1 with its own share
+        group = jnp.where(in_floor, -1, bin_id)
+        iou_share = (1.0 - self.floor_fraction) / self.num_bins
+        shares = jnp.where(in_floor,
+                           max(self.floor_fraction, 1e-4), iou_share)
+        return _interleaved_keys(rng, group, neg_mask, shares)
+
+
+@BBOX_SAMPLERS.register_module()
+class InstanceBalancedPosSampler(RandomSampler):
+    """Equal positives per gt instance (reference:
+    instance_balanced_pos_sampler.py:9)."""
+
+    def _pos_keys(self, rng, assign_result, pos_mask, n):
+        gt_inds = assign_result.gt_inds
+        if gt_inds.shape[0] != n:
+            g = n - gt_inds.shape[0]
+            gt_inds = jnp.concatenate(
+                [jnp.arange(1, g + 1, dtype=gt_inds.dtype), gt_inds])
+        return _interleaved_keys(rng, gt_inds, pos_mask)

@@ -1,8 +1,8 @@
-from .two_stage import (CascadeRCNN, FasterRCNN, HybridTaskCascade, MaskRCNN,
+from .two_stage import (CascadeRCNN, FasterRCNN, HybridTaskCascade, MaskRCNN, MaskScoringRCNN,
                         TwoStageDetector)
 from .single_stage import (ATSS, FCOS, GFL, RepPointsDetector, RetinaNet, YOLOV3,
                            SingleStageDetector)
 
-__all__ = ['CascadeRCNN', 'FasterRCNN', 'HybridTaskCascade', 'MaskRCNN', 'TwoStageDetector',
+__all__ = ['CascadeRCNN', 'FasterRCNN', 'HybridTaskCascade', 'MaskRCNN', 'MaskScoringRCNN', 'TwoStageDetector',
            'ATSS', 'FCOS', 'GFL', 'RepPointsDetector', 'RetinaNet',
            'SingleStageDetector', 'YOLOV3']

@@ -33,7 +33,13 @@ class SingleStageDetector(nn.Module):
     def setup(self):
         self._backbone = build_backbone(self._with_dtype(self.backbone))
         if self.neck is not None:
-            self._neck = build_neck(self._with_dtype(self.neck))
+            # list → chained necks (e.g. Libra's FPN + BFP)
+            if isinstance(self.neck, (list, tuple)):
+                self._neck = [build_neck(self._with_dtype(dict(
+                    n, name=f'_neck{i}')))
+                    for i, n in enumerate(self.neck)]
+            else:
+                self._neck = build_neck(self._with_dtype(self.neck))
         self._bbox_head = build_head(self._with_dtype(dict(
             self.bbox_head, train_cfg=self.train_cfg,
             test_cfg=self.test_cfg)))
@@ -41,7 +47,11 @@ class SingleStageDetector(nn.Module):
     def extract_feat(self, img: jnp.ndarray, train: bool = False):
         x = self._backbone(img, train=train)
         if self.neck is not None:
-            x = self._neck(x, train=train)
+            if isinstance(self._neck, (list, tuple)):
+                for n in self._neck:
+                    x = n(x, train=train)
+            else:
+                x = self._neck(x, train=train)
         return x
 
     def __call__(self, img: jnp.ndarray, train: bool = False):

@@ -40,7 +40,13 @@ class TwoStageDetector(nn.Module):
     def setup(self):
         self._backbone = build_backbone(self._with_dtype(self.backbone))
         if self.neck is not None:
-            self._neck = build_neck(self._with_dtype(self.neck))
+            # list → chained necks (e.g. Libra's FPN + BFP)
+            if isinstance(self.neck, (list, tuple)):
+                self._neck = [build_neck(self._with_dtype(dict(
+                    n, name=f'_neck{i}')))
+                    for i, n in enumerate(self.neck)]
+            else:
+                self._neck = build_neck(self._with_dtype(self.neck))
         if self.rpn_head is not None:
             train_cfg = dict(self.train_cfg)['rpn'] if self.train_cfg \
                 else None
@@ -172,3 +178,8 @@ class FasterRCNN(TwoStageDetector):
 class HybridTaskCascade(CascadeRCNN):
     """(reference: detectors/htc.py) — semantic-aware cascade; the base
     forward_train already plumbs gt_semantic_seg through."""
+
+
+@DETECTORS.register_module()
+class MaskScoringRCNN(TwoStageDetector):
+    """(reference: detectors/mask_scoring_rcnn.py)."""

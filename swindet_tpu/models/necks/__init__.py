@@ -2,5 +2,7 @@ from .fpn import FPN
 from .pafpn import PAFPN
 from .yolo_neck import YOLOV3Neck
 from .hrfpn import HRFPN
+from .bfp import BFP
+from .channel_mapper import ChannelMapper
 
-__all__ = ['FPN', 'PAFPN', 'YOLOV3Neck', 'HRFPN']
+__all__ = ['FPN', 'PAFPN', 'YOLOV3Neck', 'HRFPN', 'BFP', 'ChannelMapper']

@@ -6,8 +6,9 @@ from .standard_roi_head import StandardRoIHead
 from .cascade_roi_head import CascadeRoIHead
 from .htc_roi_head import (FusedSemanticHead, HTCMaskHead,
                            HybridTaskCascadeRoIHead)
+from .mask_scoring_roi_head import MaskIoUHead, MaskScoringRoIHead
 
 __all__ = ['SingleRoIExtractor', 'BBoxHead', 'ConvFCBBoxHead',
            'Shared2FCBBoxHead', 'Shared4Conv1FCBBoxHead', 'FCNMaskHead',
            'CascadeRoIHead', 'StandardRoIHead', 'FusedSemanticHead',
-           'HTCMaskHead', 'HybridTaskCascadeRoIHead']
+           'HTCMaskHead', 'HybridTaskCascadeRoIHead', 'MaskIoUHead', 'MaskScoringRoIHead']

@@ -109,6 +109,14 @@ class StandardRoIHead(nn.Module):
                       img_shapes) -> Dict[str, jnp.ndarray]:
         """feats: per-level (B, H, W, C); proposals: (B, P, 4);
         gt_bboxes: (B, G, 4); gt_masks: (B, G, Hpad, Wpad) or None."""
+        losses, _ = self._forward_train_impl(
+            rng, feats, proposals, proposal_valid, gt_bboxes, gt_valid,
+            gt_labels, gt_masks, img_shapes)
+        return losses
+
+    def _forward_train_impl(self, rng, feats, proposals, proposal_valid,
+                            gt_bboxes, gt_valid, gt_labels, gt_masks,
+                            img_shapes, return_mask_aux: bool = False):
         b, p = proposals.shape[:2]
         num = self._sampler.num
 
@@ -170,7 +178,11 @@ class StandardRoIHead(nn.Module):
                 mask_pred, targets.reshape(-1, mask_size, mask_size),
                 pos_labels.reshape(-1),
                 pos_mask.reshape(-1).astype(jnp.float32)))
-        return losses
+            if return_mask_aux:
+                return losses, (mask_feats, mask_pred, targets,
+                                pos_boxes, pos_inds, pos_mask,
+                                pos_labels)
+        return losses, None
 
     # ----------------------------------------------------------------- test
     def bbox_test(self, feats, proposals, img_shapes):

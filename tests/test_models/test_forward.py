@@ -217,3 +217,36 @@ class TestMaskRCNNForward:
         nonzero = sum(float(np.abs(np.asarray(g)).sum()) > 0
                       for g in leaves)
         assert nonzero > len(leaves) * 0.7
+
+
+def test_mask_scoring_forward():
+    """MS R-CNN: mask-iou branch trains and mask_scores at test
+    (reference: mask_scoring_roi_head.py)."""
+    cfg = tiny_maskrcnn_cfg()
+    cfg['type'] = 'MaskScoringRCNN'
+    cfg['roi_head']['type'] = 'MaskScoringRoIHead'
+    out_ch = cfg['roi_head']['bbox_roi_extractor']['out_channels']
+    cfg['roi_head']['mask_iou_head'] = dict(
+        type='MaskIoUHead', num_convs=2, num_fcs=1, roi_feat_size=14,
+        in_channels=out_ch, conv_out_channels=out_ch,
+        fc_out_channels=32, num_classes=4)
+    model = build_detector(cfg)
+    batch = demo_inputs(b=2, h=64, w=64)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'][:1], method='forward_dummy')
+    losses = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], batch['gt_masks'], method='forward_train',
+        rngs={'sampling': jax.random.PRNGKey(2)})
+    assert 'loss_mask_iou' in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f'{k} not finite'
+    out = model.apply(variables, batch['img'], batch['img_shapes'],
+                      jnp.ones((2, 4), jnp.float32),
+                      method='simple_test')
+    assert 'mask_scores' in out
+    assert out['mask_scores'].shape == out['labels'].shape
+    assert np.all(np.isfinite(np.asarray(out['mask_scores'])))
