@@ -7,6 +7,7 @@ from .atss_head import ATSSHead
 from .gfl_head import GFLHead
 from .ssd_head import SSDHead
 from .yolo_head import YOLOV3Head
+from .free_anchor_retina_head import FreeAnchorRetinaHead
 
 __all__ = ['AnchorHead', 'RPNHead', 'RetinaHead', 'RepPointsHead',
-           'FCOSHead', 'ATSSHead', 'GFLHead', 'SSDHead', 'YOLOV3Head']
+           'FCOSHead', 'ATSSHead', 'GFLHead', 'SSDHead', 'YOLOV3Head', 'FreeAnchorRetinaHead']

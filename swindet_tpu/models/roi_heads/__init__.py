@@ -7,8 +7,9 @@ from .cascade_roi_head import CascadeRoIHead
 from .htc_roi_head import (FusedSemanticHead, HTCMaskHead,
                            HybridTaskCascadeRoIHead)
 from .mask_scoring_roi_head import MaskIoUHead, MaskScoringRoIHead
+from .double_roi_head import DoubleConvFCBBoxHead, DoubleHeadRoIHead
 
 __all__ = ['SingleRoIExtractor', 'BBoxHead', 'ConvFCBBoxHead',
            'Shared2FCBBoxHead', 'Shared4Conv1FCBBoxHead', 'FCNMaskHead',
            'CascadeRoIHead', 'StandardRoIHead', 'FusedSemanticHead',
-           'HTCMaskHead', 'HybridTaskCascadeRoIHead', 'MaskIoUHead', 'MaskScoringRoIHead']
+           'HTCMaskHead', 'HybridTaskCascadeRoIHead', 'MaskIoUHead', 'MaskScoringRoIHead', 'DoubleConvFCBBoxHead', 'DoubleHeadRoIHead']

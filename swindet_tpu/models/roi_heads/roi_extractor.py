@@ -34,12 +34,27 @@ class SingleRoIExtractor:
     def num_inputs(self):
         return len(self.featmap_strides)
 
+    @staticmethod
+    def roi_rescale(rois: jnp.ndarray, scale_factor: float) -> jnp.ndarray:
+        """Scale roi extents around their centres (reference:
+        base_roi_extractor.py:57 — Double-Head's larger reg receptive
+        field)."""
+        cx = (rois[:, 1] + rois[:, 3]) * 0.5
+        cy = (rois[:, 2] + rois[:, 4]) * 0.5
+        w = (rois[:, 3] - rois[:, 1]) * scale_factor
+        h = (rois[:, 4] - rois[:, 2]) * scale_factor
+        return jnp.stack([rois[:, 0], cx - w * 0.5, cy - h * 0.5,
+                          cx + w * 0.5, cy + h * 0.5], axis=-1)
+
     def __call__(self, feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
-                 roi_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 roi_valid: Optional[jnp.ndarray] = None,
+                 roi_scale_factor: Optional[float] = None) -> jnp.ndarray:
         """feats: per-level NHWC; rois: (R, 5) with batch col.
         Returns (R, out, out, C)."""
         import jax
         import os
+        if roi_scale_factor is not None:
+            rois = self.roi_rescale(rois, roi_scale_factor)
         # Pallas strip kernel needs lane-collapsible channels (Mosaic
         # folds (S, C) for the MXU only when C is a lane multiple)
         if jax.default_backend() == 'tpu' and \

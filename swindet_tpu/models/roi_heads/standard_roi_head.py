@@ -54,13 +54,19 @@ class StandardRoIHead(nn.Module):
     def with_mask(self):
         return self.mask_head is not None
 
+    def _bbox_forward(self, feats, rois, train: bool = False):
+        """RoI features -> (cls_score, bbox_pred). Single override
+        point for variants (DoubleHead scales the reg rois)."""
+        return self._bbox_head(self._bbox_extractor(feats, rois),
+                               train=train)
+
     def forward_dummy(self, feats, num_rois: int = 100):
         """Touch all parameters (init / FLOPs)."""
         rois = jnp.concatenate([
             jnp.zeros((num_rois, 1)),
             jnp.tile(np.asarray([[0., 0., 32., 32.]], np.float32), (num_rois, 1)),
         ], axis=-1)
-        outs = self._bbox_head(self._bbox_extractor(feats, rois))
+        outs = self._bbox_forward(feats, rois)
         if self.with_mask:
             outs += (self._mask_head(self._mask_extractor(feats, rois)),)
         return outs
@@ -95,7 +101,7 @@ class StandardRoIHead(nn.Module):
         batch_col = jnp.repeat(np.arange(b, dtype=np.float32), n)
         rois = jnp.concatenate(
             [batch_col[:, None], cands.reshape(-1, 4)], axis=-1)
-        cls_score, _ = self._bbox_head(self._bbox_extractor(feats, rois))
+        cls_score, _ = self._bbox_forward(feats, rois)
         cls_score = jax.lax.stop_gradient(
             cls_score.astype(jnp.float32))
         logp = jax.nn.log_softmax(cls_score, axis=-1)
@@ -145,8 +151,7 @@ class StandardRoIHead(nn.Module):
             [batch_col[:, None], samp.bboxes.reshape(-1, 4)], axis=-1)
 
         losses = {}
-        bbox_feats = self._bbox_extractor(feats, rois)
-        cls_score, bbox_pred = self._bbox_head(bbox_feats, train=True)
+        cls_score, bbox_pred = self._bbox_forward(feats, rois, train=True)
 
         tgt = jax.vmap(lambda s: self._bbox_head.get_targets(
             s, dict(self.train_cfg)))(samp)
@@ -193,8 +198,7 @@ class StandardRoIHead(nn.Module):
         batch_col = jnp.repeat(np.arange(b, dtype=np.float32), p)
         rois = jnp.concatenate(
             [batch_col[:, None], proposals.reshape(-1, 4)], axis=-1)
-        cls_score, bbox_pred = self._bbox_head(
-            self._bbox_extractor(feats, rois))
+        cls_score, bbox_pred = self._bbox_forward(feats, rois)
         scores = jax.nn.softmax(
             cls_score.astype(jnp.float32), axis=-1).reshape(b, p, -1)
         coder = self._bbox_head._bbox_coder
@@ -225,8 +229,7 @@ class StandardRoIHead(nn.Module):
         batch_col = jnp.repeat(np.arange(b, dtype=np.float32), p)
         rois = jnp.concatenate(
             [batch_col[:, None], proposals.reshape(-1, 4)], axis=-1)
-        bbox_feats = self._bbox_extractor(feats, rois)
-        cls_score, bbox_pred = self._bbox_head(bbox_feats)
+        cls_score, bbox_pred = self._bbox_forward(feats, rois)
 
         cls_score = cls_score.reshape(b, p, -1)
         bbox_pred = bbox_pred.reshape(b, p, -1)

@@ -250,3 +250,36 @@ def test_mask_scoring_forward():
     assert 'mask_scores' in out
     assert out['mask_scores'].shape == out['labels'].shape
     assert np.all(np.isfinite(np.asarray(out['mask_scores'])))
+
+
+def test_double_head_forward():
+    """Double-Head R-CNN: fc-cls + conv-reg branches, enlarged reg RoIs
+    (reference: double_roi_head.py, double_bbox_head.py)."""
+    cfg = tiny_maskrcnn_cfg(with_mask=False)
+    cfg['type'] = 'FasterRCNN'
+    cfg['roi_head'].pop('mask_head', None)
+    cfg['roi_head'].pop('mask_roi_extractor', None)
+    cfg['roi_head']['type'] = 'DoubleHeadRoIHead'
+    cfg['roi_head']['reg_roi_scale_factor'] = 1.3
+    bh = cfg['roi_head']['bbox_head']
+    bh['type'] = 'DoubleConvFCBBoxHead'
+    bh['num_convs'] = 2
+    bh['num_fcs'] = 1
+    bh['conv_out_channels'] = 32
+    model = build_detector(cfg)
+    batch = demo_inputs(b=2, h=64, w=64, with_mask=False)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'][:1], method='forward_dummy')
+    losses, _ = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], None, method='forward_train',
+        rngs={'sampling': jax.random.PRNGKey(2)},
+        mutable=['batch_stats'])
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f'{k} not finite'
+    out = model.apply(variables, batch['img'], batch['img_shapes'],
+                      jnp.ones((2, 4), jnp.float32), method='simple_test')
+    assert np.all(np.isfinite(np.asarray(out['dets'])))

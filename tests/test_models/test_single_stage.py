@@ -330,3 +330,30 @@ def test_yolov3_forward():
     out = model.apply(variables, img, shapes,
                       jnp.ones((1, 4), jnp.float32), method='simple_test')
     assert out['dets'].shape == (1, 16, 5)
+
+
+def test_free_anchor_forward():
+    """FreeAnchor bag-MLE loss (reference: free_anchor_retina_head.py)."""
+    cfg = tiny_retinanet_cfg()
+    bh = cfg['bbox_head']
+    bh['type'] = 'FreeAnchorRetinaHead'
+    bh['pre_anchor_topk'] = 8
+    bh['bbox_coder']['target_stds'] = [1.0, 1.0, 1.0, 1.0]
+    model = build_detector(cfg)
+    batch = demo_inputs(b=2, h=64, w=64, with_mask=False)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'], method='forward_dummy')
+    losses = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], method='forward_train',
+        rngs={'sampling': jax.random.PRNGKey(2)})
+    assert float(losses['positive_bag_loss']) > 0
+    assert float(losses['negative_bag_loss']) > 0
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f'{k} not finite'
+    out = model.apply(variables, batch['img'], batch['img_shapes'],
+                      jnp.ones((2, 4), jnp.float32), method='simple_test')
+    assert out['dets'].shape == (2, 16, 5)
