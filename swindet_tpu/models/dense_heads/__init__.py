@@ -8,6 +8,7 @@ from .gfl_head import GFLHead
 from .ssd_head import SSDHead
 from .yolo_head import YOLOV3Head
 from .free_anchor_retina_head import FreeAnchorRetinaHead
+from .vfnet_head import VFNetHead
 
 __all__ = ['AnchorHead', 'RPNHead', 'RetinaHead', 'RepPointsHead',
-           'FCOSHead', 'ATSSHead', 'GFLHead', 'SSDHead', 'YOLOV3Head', 'FreeAnchorRetinaHead']
+           'FCOSHead', 'ATSSHead', 'GFLHead', 'SSDHead', 'YOLOV3Head', 'FreeAnchorRetinaHead', 'VFNetHead']

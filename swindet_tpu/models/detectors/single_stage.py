@@ -188,3 +188,28 @@ class YOLOV3(SingleStageDetector):
             cfg=dict(self.test_cfg), rescale=rescale)
         return dict(dets=res.dets, labels=res.labels,
                     det_valid=res.valid)
+
+
+@DETECTORS.register_module()
+class VFNet(SingleStageDetector):
+    """(reference: detectors/vfnet.py) — 3-output head (cls, init bbox,
+    refined bbox)."""
+
+    def forward_train(self, img, img_shapes, pad_shapes, gt_bboxes,
+                      gt_valid, gt_labels, gt_masks=None):
+        feats = self.extract_feat(img, train=True)
+        rng = self.make_rng('sampling')
+        cls, ini, ref = self._bbox_head(feats, train=True)
+        return self._bbox_head.loss(rng, cls, ini, ref, gt_bboxes,
+                                    gt_valid, gt_labels, img_shapes,
+                                    pad_shapes)
+
+    def simple_test(self, img, img_shapes, scale_factors,
+                    rescale: bool = True):
+        feats = self.extract_feat(img)
+        cls, ini, ref = self._bbox_head(feats)
+        res = self._bbox_head.get_bboxes(
+            cls, ini, ref, img_shapes, scale_factors,
+            cfg=dict(self.test_cfg), rescale=rescale)
+        return dict(dets=res.dets, labels=res.labels,
+                    det_valid=res.valid)

@@ -421,3 +421,39 @@ class GHMR:
                          tot).reshape(pred.shape)
         loss = jnp.sum(loss * w) / tot
         return self.loss_weight * loss
+
+
+@LOSSES.register_module()
+class VarifocalLoss:
+    """Varifocal loss (reference: losses/varifocal_loss.py:10,
+    arXiv:2008.13367): positives weighted by their IoU-aware target,
+    negatives by alpha * |sigmoid(p) - q|^gamma."""
+
+    def __init__(self, use_sigmoid: bool = True, alpha: float = 0.75,
+                 gamma: float = 2.0, iou_weighted: bool = True,
+                 reduction: str = 'mean', loss_weight: float = 1.0):
+        assert use_sigmoid
+        self.alpha = alpha
+        self.gamma = gamma
+        self.iou_weighted = iou_weighted
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kwargs):
+        reduction = reduction_override or self.reduction
+        pred = pred.astype(jnp.float32)
+        target = target.astype(jnp.float32)
+        sig = jax.nn.sigmoid(pred)
+        pos = (target > 0.0).astype(jnp.float32)
+        if self.iou_weighted:
+            focal_weight = target * pos + \
+                self.alpha * jnp.abs(sig - target) ** self.gamma * (1 - pos)
+        else:
+            focal_weight = pos + \
+                self.alpha * jnp.abs(sig - target) ** self.gamma * (1 - pos)
+        loss = _bce_with_logits(pred, target) * focal_weight
+        if weight is not None and weight.ndim < loss.ndim:
+            weight = weight[..., None]
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, reduction, avg_factor)

@@ -357,3 +357,40 @@ def test_free_anchor_forward():
     out = model.apply(variables, batch['img'], batch['img_shapes'],
                       jnp.ones((2, 4), jnp.float32), method='simple_test')
     assert out['dets'].shape == (2, 16, 5)
+
+
+def test_vfnet_forward():
+    """VFNet: star-DCN refinement + varifocal loss (reference:
+    vfnet_head.py)."""
+    cfg = dict(
+        type='VFNet',
+        backbone=dict(type='ResNet', depth=18, base_channels=16,
+                      out_indices=(1, 2, 3)),
+        neck=dict(type='FPN', in_channels=[32, 64, 128], out_channels=16,
+                  start_level=0, add_extra_convs='on_output', num_outs=5,
+                  relu_before_extra_convs=True),
+        bbox_head=dict(type='VFNetHead', num_classes=4, in_channels=16,
+                       feat_channels=16, stacked_convs=1,
+                       norm_cfg=dict(type='GN', num_groups=4),
+                       strides=[8, 16, 32, 64, 128]),
+        train_cfg=dict(),
+        test_cfg=dict(nms_pre=100, score_thr=0.05,
+                      nms=dict(type='nms', iou_threshold=0.6),
+                      max_per_img=16))
+    model = build_detector(cfg)
+    batch = demo_inputs(b=2, h=64, w=64, with_mask=False)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'], method='forward_dummy')
+    losses = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], method='forward_train',
+        rngs={'sampling': jax.random.PRNGKey(2)})
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f'{k} not finite'
+    assert float(losses['loss_bbox_rf']) > 0
+    out = model.apply(variables, batch['img'], batch['img_shapes'],
+                      jnp.ones((2, 4), jnp.float32), method='simple_test')
+    assert out['dets'].shape == (2, 16, 5)
