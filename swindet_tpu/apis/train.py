@@ -111,10 +111,13 @@ def train_detector(model, dataset, cfg, distributed: bool = False,
     state = replicate(mesh, state)
 
     # ---- checkpoint save/resume
-    from ..checkpoint import save_train_state, load_train_state
+    from ..checkpoint import (save_train_state, load_train_state,
+                              wait_for_async_saves)
+    async_save = bool(dict(cfg.get('checkpoint_config', {})
+                           or {}).get('async_save', False))
 
     def save_fn(path, st, mt):
-        save_train_state(path, st, mt)
+        save_train_state(path, st, mt, async_save=async_save)
 
     resume_epoch = 0
     if cfg.get('resume_from'):
@@ -161,11 +164,17 @@ def train_detector(model, dataset, cfg, distributed: bool = False,
         save_fn=save_fn, meta=meta,
         save_best=dict(cfg.get('evaluation', {}) or {}).get('save_best'),
         save_best_rule=dict(cfg.get('evaluation', {})
-                            or {}).get('rule', 'auto'))
+                            or {}).get('rule', 'auto'),
+        tensorboard=any(
+            dict(h).get('type') == 'TensorboardLoggerHook'
+            for h in dict(cfg.get('log_config', {}) or {}).get(
+                'hooks', [])))
 
     rng = jax.random.PRNGKey(cfg.get('seed', 0) or 0)
     logger.info(f'Start training: {n_dev} devices, global batch '
                 f'{global_batch}, {iters_per_epoch} iters/epoch, '
                 f'{max_epochs} epochs')
-    return runner.run(state, train_loader, rng,
-                      resume_epoch=resume_epoch)
+    final_state = runner.run(state, train_loader, rng,
+                             resume_epoch=resume_epoch)
+    wait_for_async_saves()
+    return final_state

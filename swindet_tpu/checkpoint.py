@@ -294,20 +294,43 @@ def load_checkpoint(module, variables, filename: str,
     return variables_new, meta
 
 
-def save_train_state(path: str, state, meta: Optional[dict] = None):
+_ASYNC_CKPTR = None
+
+
+def save_train_state(path: str, state, meta: Optional[dict] = None,
+                     async_save: bool = False):
     """Save a full TrainState (params + opt state + model_state) with
     orbax — the preemption-safe resume path (SURVEY.md §5.4).
 
     The state is serialised via flax to a pure nested dict so custom
     pytree nodes (flax.struct dataclasses, optax states) restore
-    structure-faithfully regardless of orbax's dict ordering."""
+    structure-faithfully regardless of orbax's dict ordering.
+
+    ``async_save`` writes in a background thread (orbax
+    AsyncCheckpointer) so training resumes immediately; the previous
+    in-flight save is waited on first (at most one outstanding)."""
     import orbax.checkpoint as ocp
     from flax import serialization
-    ckptr = ocp.PyTreeCheckpointer()
     payload = dict(
         state=jax.device_get(serialization.to_state_dict(state)),
         meta=meta or {})
+    if async_save:
+        global _ASYNC_CKPTR
+        if _ASYNC_CKPTR is None:
+            _ASYNC_CKPTR = ocp.AsyncCheckpointer(
+                ocp.PyTreeCheckpointHandler())
+        _ASYNC_CKPTR.wait_until_finished()
+        _ASYNC_CKPTR.save(osp.abspath(path), payload, force=True)
+        return
+    ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(osp.abspath(path), payload, force=True)
+
+
+def wait_for_async_saves():
+    """Block until any in-flight async checkpoint completes (call at
+    end of training)."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def load_train_state(path: str, state_template):

@@ -36,7 +36,8 @@ class EpochBasedRunner:
                  save_fn: Optional[Callable] = None,
                  meta: Optional[dict] = None,
                  save_best: Optional[str] = None,
-                 save_best_rule: str = 'auto'):
+                 save_best_rule: str = 'auto',
+                 tensorboard: bool = False):
         self.train_step = train_step
         self.mesh = mesh
         self.work_dir = work_dir
@@ -59,10 +60,28 @@ class EpochBasedRunner:
         os.makedirs(work_dir, exist_ok=True)
         self._json_log = osp.join(
             work_dir, f'{time.strftime("%Y%m%d_%H%M%S")}.log.json')
+        # Tensorboard writer (reference: mmcv TensorboardLoggerHook)
+        self._tb = None
+        if tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+                self._tb = SummaryWriter(osp.join(work_dir, 'tf_logs'))
+            except Exception:
+                self.logger.warning('tensorboardX unavailable; '
+                                    'Tensorboard logging disabled')
+        self._global_iter = 0
 
     def _log_json(self, record: dict):
         with open(self._json_log, 'a') as f:
             f.write(json.dumps(record) + '\n')
+        if self._tb is not None:
+            mode = record.get('mode', 'train')
+            step = self._global_iter
+            for k, v in record.items():
+                if k in ('mode', 'epoch', 'iter'):
+                    continue
+                if isinstance(v, (int, float)):
+                    self._tb.add_scalar(f'{mode}/{k}', v, step)
 
     def run(self, state, loader, rng, resume_epoch: int = 0):
         """Train ``max_epochs`` epochs from ``resume_epoch``; returns the
@@ -79,6 +98,7 @@ class EpochBasedRunner:
                 t1 = time.perf_counter()
                 sbatch = shard_batch(self.mesh, batch)
                 state, metrics = self.train_step(state, sbatch, rng)
+                self._global_iter += 1
                 t2 = time.perf_counter()
                 t_data += t1 - t0
                 t_step += t2 - t1
