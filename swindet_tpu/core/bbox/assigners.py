@@ -401,3 +401,83 @@ class GridAssigner:
                             max_overlaps=jnp.where(max_all > -1, max_all,
                                                    0.0),
                             labels=labels)
+
+
+def _scale_boxes(boxes, scale):
+    c = (boxes[..., :2] + boxes[..., 2:]) * 0.5
+    wh = (boxes[..., 2:] - boxes[..., :2]) * scale * 0.5
+    return jnp.concatenate([c - wh, c + wh], axis=-1)
+
+
+@BBOX_ASSIGNERS.register_module()
+class CenterRegionAssigner:
+    """Effective/ignore centre-region assignment (reference:
+    mmdet/core/bbox/assigners/center_region_assigner.py:33; FSAF).
+
+    Masked static-shape port: anchors whose centre lies in a gt's
+    ``pos_scale`` core become positives (conflicts → smallest-area gt);
+    anchors only in the ``neg_scale`` shadow are ignored (-1). With
+    FSAF's pos_scale == neg_scale the shadow set is empty.
+    """
+
+    def __init__(self, pos_scale: float, neg_scale: float,
+                 min_pos_iof: float = 1e-2,
+                 ignore_gt_scale: float = 0.5, **kwargs):
+        self.pos_scale = pos_scale
+        self.neg_scale = neg_scale
+        self.min_pos_iof = min_pos_iof
+        self.ignore_gt_scale = ignore_gt_scale
+
+    def assign(self, bboxes, gt_bboxes, gt_valid, gt_labels=None,
+               bbox_valid=None, gt_bboxes_ignore=None,
+               gt_ignore_valid=None) -> AssignResult:
+        n = bboxes.shape[0]
+        g = gt_bboxes.shape[0]
+        centers = (bboxes[:, :2] + bboxes[:, 2:4]) * 0.5
+        in_gt = ((centers[:, None, 0] >= gt_bboxes[None, :, 0])
+                 & (centers[:, None, 0] <= gt_bboxes[None, :, 2])
+                 & (centers[:, None, 1] >= gt_bboxes[None, :, 1])
+                 & (centers[:, None, 1] <= gt_bboxes[None, :, 3]))
+        core = _scale_boxes(gt_bboxes, self.pos_scale)
+        shadow = _scale_boxes(gt_bboxes, self.neg_scale)
+        iof_core = bbox_overlaps(bboxes, core, mode='iof')
+        in_core = in_gt & (iof_core > self.min_pos_iof) \
+            & gt_valid[None, :]
+        iof_shadow = bbox_overlaps(bboxes, shadow, mode='iof')
+        in_shadow = (iof_shadow > self.min_pos_iof) & gt_valid[None, :] \
+            & ~in_core
+        if bbox_valid is not None:
+            in_core &= bbox_valid[:, None]
+            in_shadow &= bbox_valid[:, None]
+
+        # conflicts: smaller gt area wins (reference get_gt_priorities)
+        areas = ((gt_bboxes[:, 2] - gt_bboxes[:, 0])
+                 * (gt_bboxes[:, 3] - gt_bboxes[:, 1]))
+        areas = jnp.where(gt_valid, areas, jnp.inf)
+        score = jnp.where(in_core, -areas[None, :], -jnp.inf)
+        arg = jnp.argmax(score, axis=1).astype(jnp.int32)
+        pos = jnp.any(in_core, axis=1)
+        gt_inds = jnp.where(pos, arg + 1, 0)
+        # shadow of a DIFFERENT gt than the assigned one → ignore
+        only_shadow = jnp.any(in_shadow, axis=1) & ~pos
+        gt_inds = jnp.where(only_shadow, -1, gt_inds)
+        if gt_bboxes_ignore is not None and gt_ignore_valid is not None:
+            ig = _scale_boxes(gt_bboxes_ignore, self.ignore_gt_scale)
+            in_ig = ((centers[:, None, 0] >= ig[None, :, 0])
+                     & (centers[:, None, 0] <= ig[None, :, 2])
+                     & (centers[:, None, 1] >= ig[None, :, 1])
+                     & (centers[:, None, 1] <= ig[None, :, 3])
+                     & gt_ignore_valid[None, :])
+            gt_inds = jnp.where(jnp.any(in_ig, axis=1), -1, gt_inds)
+
+        if gt_labels is not None:
+            labels = jnp.where(
+                gt_inds > 0,
+                jnp.take(gt_labels.astype(jnp.int32),
+                         jnp.clip(gt_inds - 1, 0)), -1)
+        else:
+            labels = jnp.full((n,), -1, jnp.int32)
+        max_iof = jnp.max(jnp.where(gt_valid[None, :], iof_core, 0.0),
+                          axis=1)
+        return AssignResult(gt_inds=gt_inds, max_overlaps=max_iof,
+                            labels=labels)

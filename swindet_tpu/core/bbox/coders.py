@@ -193,3 +193,46 @@ class YOLOBBoxCoder:
         h_p = jnp.exp(pred_bboxes[..., 3]) * h
         return jnp.stack([x_cp - w_p / 2, y_cp - h_p / 2,
                           x_cp + w_p / 2, y_cp + h_p / 2], axis=-1)
+
+
+@BBOX_CODERS.register_module()
+class TBLRBBoxCoder:
+    """(top, bottom, left, right) distances from the prior centre,
+    normalized by the prior's h/w and ``normalizer`` (reference:
+    mmdet/core/bbox/coder/tblr_bbox_coder.py:9; used by FSAF)."""
+
+    def __init__(self, normalizer=4.0, clip_border: bool = True):
+        self.normalizer = normalizer
+        self.clip_border = clip_border
+
+    def encode(self, bboxes, gt_bboxes):
+        cx = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        cy = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        w = bboxes[..., 2] - bboxes[..., 0]
+        h = bboxes[..., 3] - bboxes[..., 1]
+        top = (cy - gt_bboxes[..., 1]) / h
+        bottom = (gt_bboxes[..., 3] - cy) / h
+        left = (cx - gt_bboxes[..., 0]) / w
+        right = (gt_bboxes[..., 2] - cx) / w
+        return jnp.stack([top, bottom, left, right],
+                         axis=-1) / self.normalizer
+
+    def decode(self, bboxes, pred_bboxes, max_shape=None):
+        loc = pred_bboxes * self.normalizer
+        cx = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        cy = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        w = bboxes[..., 2] - bboxes[..., 0]
+        h = bboxes[..., 3] - bboxes[..., 1]
+        top = loc[..., 0] * h
+        bottom = loc[..., 1] * h
+        left = loc[..., 2] * w
+        right = loc[..., 3] * w
+        x1, y1 = cx - left, cy - top
+        x2, y2 = cx + right, cy + bottom
+        if self.clip_border and max_shape is not None:
+            hh, ww = max_shape[0], max_shape[1]
+            x1 = jnp.clip(x1, 0, ww)
+            y1 = jnp.clip(y1, 0, hh)
+            x2 = jnp.clip(x2, 0, ww)
+            y2 = jnp.clip(y2, 0, hh)
+        return jnp.stack([x1, y1, x2, y2], axis=-1)

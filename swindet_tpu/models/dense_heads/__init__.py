@@ -9,6 +9,7 @@ from .ssd_head import SSDHead
 from .yolo_head import YOLOV3Head
 from .free_anchor_retina_head import FreeAnchorRetinaHead
 from .vfnet_head import VFNetHead
+from .fsaf_head import FSAFHead
 
 __all__ = ['AnchorHead', 'RPNHead', 'RetinaHead', 'RepPointsHead',
-           'FCOSHead', 'ATSSHead', 'GFLHead', 'SSDHead', 'YOLOV3Head', 'FreeAnchorRetinaHead', 'VFNetHead']
+           'FCOSHead', 'ATSSHead', 'GFLHead', 'SSDHead', 'YOLOV3Head', 'FreeAnchorRetinaHead', 'VFNetHead', 'FSAFHead']

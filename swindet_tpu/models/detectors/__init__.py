@@ -1,8 +1,8 @@
 from .two_stage import (CascadeRCNN, FasterRCNN, HybridTaskCascade, MaskRCNN, MaskScoringRCNN,
                         TwoStageDetector)
-from .single_stage import (ATSS, FCOS, GFL, RepPointsDetector, RetinaNet, VFNet, YOLOV3,
+from .single_stage import (ATSS, FCOS, FSAF, GFL, RepPointsDetector, RetinaNet, VFNet, YOLOV3,
                            SingleStageDetector)
 
 __all__ = ['CascadeRCNN', 'FasterRCNN', 'HybridTaskCascade', 'MaskRCNN', 'MaskScoringRCNN', 'TwoStageDetector',
-           'ATSS', 'FCOS', 'GFL', 'RepPointsDetector', 'RetinaNet',
+           'ATSS', 'FCOS', 'FSAF', 'GFL', 'RepPointsDetector', 'RetinaNet',
            'SingleStageDetector', 'VFNet', 'YOLOV3']

@@ -213,3 +213,8 @@ class VFNet(SingleStageDetector):
             cfg=dict(self.test_cfg), rescale=rescale)
         return dict(dets=res.dets, labels=res.labels,
                     det_valid=res.valid)
+
+
+@DETECTORS.register_module()
+class FSAF(RetinaNet):
+    """(reference: detectors/fsaf.py)."""

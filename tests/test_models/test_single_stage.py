@@ -394,3 +394,40 @@ def test_vfnet_forward():
     out = model.apply(variables, batch['img'], batch['img_shapes'],
                       jnp.ones((2, 4), jnp.float32), method='simple_test')
     assert out['dets'].shape == (2, 16, 5)
+
+
+def test_fsaf_forward():
+    """FSAF: centre-region assignment + online feature selection
+    (reference: fsaf_head.py)."""
+    cfg = tiny_retinanet_cfg()
+    cfg['type'] = 'FSAF'
+    bh = cfg['bbox_head']
+    bh['type'] = 'FSAFHead'
+    bh['reg_decoded_bbox'] = True
+    bh['anchor_generator'] = dict(
+        type='AnchorGenerator', octave_base_scale=1,
+        scales_per_octave=1, ratios=[1.0],
+        strides=[8, 16, 32, 64, 128])
+    bh['bbox_coder'] = dict(type='TBLRBBoxCoder', normalizer=4.0)
+    bh['loss_bbox'] = dict(type='IoULoss', eps=1e-6, loss_weight=1.0)
+    cfg['train_cfg'] = dict(
+        assigner=dict(type='CenterRegionAssigner', pos_scale=0.2,
+                      neg_scale=0.2, min_pos_iof=0.01),
+        allowed_border=-1, pos_weight=-1)
+    model = build_detector(cfg)
+    batch = demo_inputs(b=2, h=64, w=64, with_mask=False)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'], method='forward_dummy')
+    losses = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], method='forward_train',
+        rngs={'sampling': jax.random.PRNGKey(2)})
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f'{k} not finite'
+    assert float(losses['loss_bbox']) > 0
+    out = model.apply(variables, batch['img'], batch['img_shapes'],
+                      jnp.ones((2, 4), jnp.float32), method='simple_test')
+    assert out['dets'].shape == (2, 16, 5)
