@@ -95,7 +95,9 @@ def test_coco_scale_perf():
     out = M.paste_masks(probs, boxes, 800, 1344)
     t_paste = time.perf_counter() - t0
     assert out.shape == (n, 800, 1344)
-    assert t_paste < 0.5, f'paste too slow: {t_paste:.3f}s'
+    # generous bound: guards against the hours-scale numpy
+    # pathology, tolerates a loaded CI machine
+    assert t_paste < 2.0, f'paste too slow: {t_paste:.3f}s'
 
     dts = [M.mask_to_rle(out[i]) for i in range(n)]
     gts = dts[:30]
@@ -103,4 +105,4 @@ def test_coco_scale_perf():
     iou = M.rle_iou(dts, gts, [False] * 30)
     t_iou = time.perf_counter() - t0
     np.testing.assert_allclose(np.diag(iou[:30]), 1.0)
-    assert t_iou < 0.5, f'rle_iou too slow: {t_iou:.3f}s'
+    assert t_iou < 2.0, f'rle_iou too slow: {t_iou:.3f}s'
