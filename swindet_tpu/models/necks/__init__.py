@@ -4,5 +4,6 @@ from .yolo_neck import YOLOV3Neck
 from .hrfpn import HRFPN
 from .bfp import BFP
 from .channel_mapper import ChannelMapper
+from .nas_fpn import NASFPN
 
-__all__ = ['FPN', 'PAFPN', 'YOLOV3Neck', 'HRFPN', 'BFP', 'ChannelMapper']
+__all__ = ['FPN', 'PAFPN', 'YOLOV3Neck', 'HRFPN', 'BFP', 'ChannelMapper', 'NASFPN']

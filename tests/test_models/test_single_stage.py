@@ -431,3 +431,19 @@ def test_fsaf_forward():
     out = model.apply(variables, batch['img'], batch['img_shapes'],
                       jnp.ones((2, 4), jnp.float32), method='simple_test')
     assert out['dets'].shape == (2, 16, 5)
+
+
+def test_nasfpn_shapes(rng):
+    """NAS-FPN merging-cell topology (reference: nas_fpn.py +
+    mmcv merge_cells)."""
+    from swindet_tpu.models.necks import NASFPN
+    ins = [jnp.asarray(rng.randn(1, 128 // s, 128 // s, c)
+                       .astype(np.float32))
+           for s, c in [(8, 64), (16, 128), (32, 256)]]
+    neck = NASFPN(in_channels=[64, 128, 256], out_channels=16,
+                  stack_times=2)
+    v = neck.init(jax.random.PRNGKey(0), ins)
+    outs, _ = neck.apply(v, ins, mutable=['batch_stats'])
+    assert [tuple(o.shape) for o in outs] == [
+        (1, 16, 16, 16), (1, 8, 8, 16), (1, 4, 4, 16),
+        (1, 2, 2, 16), (1, 1, 1, 16)]
