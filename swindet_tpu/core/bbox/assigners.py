@@ -63,8 +63,12 @@ class MaxIoUAssigner:
                gt_labels: Optional[jnp.ndarray] = None,
                bbox_valid: Optional[jnp.ndarray] = None,
                gt_bboxes_ignore: Optional[jnp.ndarray] = None,
-               gt_ignore_valid: Optional[jnp.ndarray] = None) -> AssignResult:
+               gt_ignore_valid: Optional[jnp.ndarray] = None,
+               pos_iou_thr=None, neg_iou_thr=None,
+               min_pos_iou=None) -> AssignResult:
         """Assign each of N bboxes to one of G (padded) gt boxes.
+        The threshold overrides accept traced scalars (Dynamic R-CNN's
+        adaptive IoU threshold).
 
         Args:
             bboxes: (N, 4)
@@ -96,23 +100,26 @@ class MaxIoUAssigner:
         max_overlaps = jnp.max(overlaps, axis=1, initial=-1.0)   # (N,)
         argmax_gt = jnp.argmax(overlaps, axis=1)                 # (N,)
 
+        p_thr = self.pos_iou_thr if pos_iou_thr is None else pos_iou_thr
+        n_thr = self.neg_iou_thr if neg_iou_thr is None else neg_iou_thr
+        m_thr = self.min_pos_iou if min_pos_iou is None else min_pos_iou
         gt_inds = jnp.full((n,), -1, jnp.int32)
         # step 2: negatives
-        if isinstance(self.neg_iou_thr, (tuple, list)):
-            lo, hi = self.neg_iou_thr
+        if isinstance(n_thr, (tuple, list)):
+            lo, hi = n_thr
             neg = (max_overlaps >= lo) & (max_overlaps < hi)
         else:
-            neg = (max_overlaps >= 0) & (max_overlaps < self.neg_iou_thr)
+            neg = (max_overlaps >= 0) & (max_overlaps < n_thr)
         gt_inds = jnp.where(neg, 0, gt_inds)
         # step 3: positives
-        pos = max_overlaps >= self.pos_iou_thr
+        pos = max_overlaps >= p_thr
         gt_inds = jnp.where(pos, argmax_gt.astype(jnp.int32) + 1, gt_inds)
 
         # step 4: low-quality match — each gt claims its best anchor(s)
         if self.match_low_quality:
             gt_max = jnp.max(overlaps, axis=0, initial=-1.0)     # (G,)
             eligible = ((overlaps == gt_max[None, :])
-                        & (gt_max[None, :] >= self.min_pos_iou)
+                        & (gt_max[None, :] >= m_thr)
                         & (gt_max[None, :] > -1.0)
                         & gt_valid[None, :])
             if not self.gt_max_assign_all:

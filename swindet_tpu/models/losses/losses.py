@@ -146,12 +146,12 @@ class SmoothL1Loss:
         self.loss_weight = loss_weight
 
     def __call__(self, pred, target, weight=None, avg_factor=None,
-                 reduction_override=None, **kwargs):
+                 reduction_override=None, beta=None, **kwargs):
         reduction = reduction_override or self.reduction
+        b = self.beta if beta is None else beta
         diff = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
-        loss = jnp.where(diff < self.beta,
-                         0.5 * diff * diff / self.beta,
-                         diff - 0.5 * self.beta)
+        loss = jnp.where(diff < b, 0.5 * diff * diff / b,
+                         diff - 0.5 * b)
         return self.loss_weight * weight_reduce_loss(
             loss, weight, reduction, avg_factor)
 

@@ -8,8 +8,9 @@ from .htc_roi_head import (FusedSemanticHead, HTCMaskHead,
                            HybridTaskCascadeRoIHead)
 from .mask_scoring_roi_head import MaskIoUHead, MaskScoringRoIHead
 from .double_roi_head import DoubleConvFCBBoxHead, DoubleHeadRoIHead
+from .dynamic_roi_head import DynamicRoIHead
 
 __all__ = ['SingleRoIExtractor', 'BBoxHead', 'ConvFCBBoxHead',
            'Shared2FCBBoxHead', 'Shared4Conv1FCBBoxHead', 'FCNMaskHead',
            'CascadeRoIHead', 'StandardRoIHead', 'FusedSemanticHead',
-           'HTCMaskHead', 'HybridTaskCascadeRoIHead', 'MaskIoUHead', 'MaskScoringRoIHead', 'DoubleConvFCBBoxHead', 'DoubleHeadRoIHead']
+           'HTCMaskHead', 'HybridTaskCascadeRoIHead', 'MaskIoUHead', 'MaskScoringRoIHead', 'DoubleConvFCBBoxHead', 'DoubleHeadRoIHead', 'DynamicRoIHead']

@@ -110,7 +110,8 @@ class ConvFCBBoxHead(nn.Module):
     # ---------------------------------------------------------------- loss
     def loss(self, cls_score, bbox_pred, rois, labels, label_weights,
              bbox_targets, bbox_weights,
-             reduction_override=None) -> Dict[str, jnp.ndarray]:
+             reduction_override=None,
+             loss_bbox_kwargs=None) -> Dict[str, jnp.ndarray]:
         """(reference: bbox_head.py:219). All args flattened (B*num, ...)."""
         losses = {}
         avg = jnp.maximum(jnp.sum(label_weights), 1.0)
@@ -135,7 +136,8 @@ class ConvFCBBoxHead(nn.Module):
             losses['loss_bbox'] = self._loss_bbox(
                 pred, bbox_targets, weight=bbox_weights,
                 avg_factor=float(bbox_targets.shape[0]),
-                reduction_override=reduction_override)
+                reduction_override=reduction_override,
+                **(loss_bbox_kwargs or {}))
         return losses
 
     # --------------------------------------------------------------- boxes

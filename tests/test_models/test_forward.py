@@ -283,3 +283,42 @@ def test_double_head_forward():
     out = model.apply(variables, batch['img'], batch['img_shapes'],
                       jnp.ones((2, 4), jnp.float32), method='simple_test')
     assert np.all(np.isfinite(np.asarray(out['dets'])))
+
+
+def test_dynamic_rcnn_forward():
+    """Dynamic R-CNN: adaptive IoU thr / SmoothL1 beta tracked in the
+    jitted 'dynamic' collection (reference: dynamic_roi_head.py)."""
+    cfg = tiny_maskrcnn_cfg(with_mask=False)
+    cfg['type'] = 'FasterRCNN'
+    cfg['roi_head'].pop('mask_head', None)
+    cfg['roi_head'].pop('mask_roi_extractor', None)
+    cfg['roi_head']['type'] = 'DynamicRoIHead'
+    cfg['roi_head']['bbox_head']['loss_bbox'] = dict(
+        type='SmoothL1Loss', beta=1.0, loss_weight=1.0)
+    cfg['train_cfg']['rcnn']['dynamic_rcnn'] = dict(
+        iou_topk=8, beta_topk=2, update_iter_interval=2,
+        initial_iou=0.4, initial_beta=1.0)
+    model = build_detector(cfg)
+    batch = demo_inputs(b=2, h=64, w=64, with_mask=False)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'][:1], method='forward_dummy')
+    assert 'dynamic' in variables
+    dyn = variables['dynamic']
+    for step in range(3):
+        losses, upd = model.apply(
+            {'params': variables['params'], 'dynamic': dyn},
+            batch['img'], batch['img_shapes'], batch['pad_shapes'],
+            batch['gt_bboxes'], batch['gt_valid'], batch['gt_labels'],
+            None, method='forward_train',
+            rngs={'sampling': jax.random.PRNGKey(step)},
+            mutable=['dynamic'])
+        dyn = upd['dynamic']
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), f'{k} not finite'
+    rh = dyn['_roi_head']
+    assert int(rh['count']) == 3
+    # thresholds stay in sane ranges (update fired at count 2)
+    assert float(rh['iou_thr']) >= 0.4
+    assert 0 < float(rh['beta']) <= 1.0
