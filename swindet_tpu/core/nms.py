@@ -237,3 +237,29 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
                          jnp.take(top_box_idx, res.inds).astype(jnp.int32), 0)
     return MulticlassNMSResult(dets=res.dets, labels=labels,
                                inds=box_inds, valid=res.valid)
+
+
+def nms_match(dets: jnp.ndarray, iou_threshold: float,
+              valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Greedy NMS clustering (mmcv ``nms_match`` semantics, used by
+    ScoreHLRSampler): every box is matched to the highest-scored kept
+    box that suppresses it.
+
+    Static-shape formulation: instead of the reference's list of index
+    groups, returns (N,) int32 group ids — ``group[i]`` is the index of
+    the kept box whose cluster ``i`` belongs to (``group[i] == i`` for
+    kept boxes, ``-1`` for invalid).
+    """
+    n = dets.shape[0]
+    boxes, scores = dets[:, :4], dets[:, 4]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    res = nms(boxes, scores, iou_threshold, n, valid=valid)
+    kept = jnp.zeros((n,), bool).at[res.inds].max(res.valid, mode='drop')
+    iou = _pairwise_iou(boxes, boxes)                  # (N, N)
+    # candidate keepers: kept boxes with IoU > thr (self IoU = 1 > thr)
+    can = kept[None, :] & (iou > iou_threshold) & valid[:, None]
+    keeper_score = jnp.where(can, scores[None, :], -jnp.inf)
+    group = jnp.argmax(keeper_score, axis=1).astype(jnp.int32)
+    has = jnp.any(can, axis=1)
+    return jnp.where(valid & has, group, -1)

@@ -66,3 +66,30 @@ def test_instance_balanced_pos():
     # 8 positives: gt2 contributes all 4 of its anchors, gt1 the rest
     assert sel_gt.count(2) == 4
     assert sel_gt.count(1) == 4
+
+
+def test_nms_match_groups():
+    from swindet_tpu.core.nms import nms_match
+    dets = jnp.asarray([
+        [0, 0, 10, 10, 0.9],     # kept
+        [1, 1, 11, 11, 0.8],     # suppressed by 0
+        [50, 50, 60, 60, 0.7],   # kept
+        [51, 51, 61, 61, 0.6],   # suppressed by 2
+        [100, 100, 110, 110, 0.5],  # kept, own group
+    ], jnp.float32)
+    g = nms_match(dets, 0.5)
+    assert [int(v) for v in g] == [0, 0, 2, 2, 4]
+
+
+def test_point_sample_bilinear():
+    import numpy as np
+    from swindet_tpu.ops.point_sample import point_sample
+    feats = jnp.asarray(np.arange(16, dtype=np.float32)
+                        .reshape(1, 4, 4, 1))
+    # centre of pixel (1, 2) → exact value 6
+    pts = jnp.asarray([[[(2 + 0.5) / 4, (1 + 0.5) / 4],
+                        [0.5, 0.5]]])
+    out = point_sample(feats, pts)
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0]), 6.0, atol=1e-5)
+    # midpoint between pixel centres (1,1),(1,2),(2,1),(2,2): mean = 7.5
+    np.testing.assert_allclose(np.asarray(out[0, 1, 0]), 7.5, atol=1e-5)
