@@ -275,3 +275,31 @@ class InstanceBalancedPosSampler(RandomSampler):
             gt_inds = jnp.concatenate(
                 [jnp.arange(1, g + 1, dtype=gt_inds.dtype), gt_inds])
         return _interleaved_keys(rng, gt_inds, pos_mask)
+
+
+@BBOX_SAMPLERS.register_module()
+class ScoreHLRSampler(RandomSampler):
+    """Score-based hierarchical local ranking (reference:
+    score_hlr_sampler.py:12, Libra-style hard mining by ranked scores).
+
+    The RoI head's stop-gradient pre-pass computes the per-candidate
+    HLR importance (max foreground score, NMS-Match grouping of the
+    decoded boxes, two-level rank → importance) and hands it in as the
+    ``hardness`` ranking key; sub-threshold negatives rank below every
+    valid one (random backfill). The reference's negative label-weight
+    decay is not applied (weights stay 1) — selection semantics only.
+    """
+
+    USE_HARDNESS = True
+    PREPASS = 'score_hlr'
+
+    def __init__(self, num, pos_fraction, neg_pos_ub=-1,
+                 add_gt_as_proposals=True, k: float = 0.5,
+                 bias: float = 0, score_thr: float = 0.05,
+                 iou_thr: float = 0.5, **kwargs):
+        super().__init__(num, pos_fraction, neg_pos_ub,
+                         add_gt_as_proposals)
+        self.k = k
+        self.bias = bias
+        self.score_thr = score_thr
+        self.iou_thr = iou_thr

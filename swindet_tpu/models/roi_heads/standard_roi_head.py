@@ -109,6 +109,51 @@ class StandardRoIHead(nn.Module):
             logp, labels.reshape(-1)[:, None], axis=-1)[:, 0]
         return ce.reshape(b, n)
 
+    def _score_hlr_priority(self, feats, proposals, gt_bboxes,
+                            proposal_valid):
+        """Per-candidate Score-HLR importance (reference:
+        score_hlr_sampler.py:128 _sample_neg, stop-gradient)."""
+        from ...core.nms import nms_match
+        b, p = proposals.shape[:2]
+        if self._sampler.add_gt_as_proposals:
+            cands = jnp.concatenate([gt_bboxes[:, :, :4], proposals], 1)
+        else:
+            cands = proposals
+        n = cands.shape[1]
+        batch_col = jnp.repeat(np.arange(b, dtype=np.float32), n)
+        rois = jnp.concatenate(
+            [batch_col[:, None], cands.reshape(-1, 4)], axis=-1)
+        cls_score, bbox_pred = self._bbox_forward(feats, rois)
+        cls_score = jax.lax.stop_gradient(cls_score.astype(jnp.float32))
+        bbox_pred = jax.lax.stop_gradient(bbox_pred.astype(jnp.float32))
+        probs = jax.nn.softmax(cls_score, axis=-1)[:, :-1]
+        max_score = probs.max(-1)
+        arg = probs.argmax(-1)
+        k = bbox_pred.shape[-1] // 4
+        sel_pred = jnp.take_along_axis(
+            bbox_pred.reshape(-1, k, 4),
+            jnp.clip(arg, 0, k - 1)[:, None, None].repeat(4, -1),
+            axis=1)[:, 0]
+        decoded = self._bbox_head._bbox_coder.decode(rois[:, 1:],
+                                                     sel_pred)
+        dets = jnp.concatenate([decoded, max_score[:, None]], -1)
+        thr_ok = max_score > self._sampler.score_thr
+
+        def per_image(dets_i, ok_i):
+            group = nms_match(dets_i, self._sampler.iou_thr, valid=ok_i)
+            score = dets_i[:, 4]
+            same = (group[:, None] == group[None, :]) & (group[:, None]
+                                                         >= 0)
+            rank = jnp.sum(same & (score[None, :] > score[:, None]),
+                           axis=1).astype(jnp.float32)
+            n_valid = jnp.sum(ok_i).astype(jnp.float32)
+            imp = jnp.where(ok_i, n_valid - rank + score, -1e4)
+            return imp
+
+        return jax.vmap(per_image)(
+            dets.reshape(b, n, 5),
+            thr_ok.reshape(b, n))
+
     # ---------------------------------------------------------------- train
     def forward_train(self, rng, feats, proposals, proposal_valid,
                       gt_bboxes, gt_valid, gt_labels, gt_masks,
@@ -128,9 +173,13 @@ class StandardRoIHead(nn.Module):
 
         hardness = None
         if getattr(self._sampler, 'USE_HARDNESS', False):
-            hardness = self._ohem_hardness(feats, proposals, gt_bboxes,
-                                           gt_valid, gt_labels,
-                                           proposal_valid)
+            if getattr(self._sampler, 'PREPASS', 'ohem') == 'score_hlr':
+                hardness = self._score_hlr_priority(
+                    feats, proposals, gt_bboxes, proposal_valid)
+            else:
+                hardness = self._ohem_hardness(
+                    feats, proposals, gt_bboxes, gt_valid, gt_labels,
+                    proposal_valid)
 
         def assign_sample(r, props, pvalid, gb, gv, gl, hard):
             assign = self._assigner.assign(props, gb, gv, gl,

@@ -98,3 +98,33 @@ def test_ohem_selects_hardest():
                       zip(res.inds, res.is_pos, res.valid)
                       if v and not p)
     assert neg_inds == list(range(26, 32))
+
+
+def test_score_hlr_selection():
+    """ScoreHLR keeps the highest-importance negatives (selection
+    semantics of score_hlr_sampler.py; importance precomputed by the
+    RoI-head pre-pass and passed as the hardness key)."""
+    from swindet_tpu.core.bbox.assigners import AssignResult
+    from swindet_tpu.core.bbox.samplers import ScoreHLRSampler
+
+    n = 24
+    gt_inds = jnp.asarray([1] + [0] * 23, jnp.int32)
+    assign = AssignResult(gt_inds=gt_inds,
+                          max_overlaps=jnp.zeros((n,)),
+                          labels=jnp.where(gt_inds > 0, 0, -1))
+    bboxes = jnp.tile(jnp.asarray([[0., 0., 10., 10.]]), (n, 1))
+    # importance: candidates 20-23 most important; below-thr ones very low
+    imp = jnp.concatenate([jnp.full((20,), -1e4) +
+                           jnp.arange(20, dtype=jnp.float32),
+                           jnp.asarray([50., 60., 70., 80.])])
+    s = ScoreHLRSampler(num=8, pos_fraction=0.125,
+                        add_gt_as_proposals=False)
+    res = s.sample(jax.random.PRNGKey(0), assign, bboxes,
+                   jnp.zeros((1, 4)), jnp.ones((1,), bool),
+                   jnp.asarray([0], jnp.int32), hardness=imp)
+    neg_sel = sorted(int(i) for i, v, p in
+                     zip(res.inds, res.valid, res.is_pos)
+                     if v and not p)
+    # the 4 valid (high-importance) negs selected first, then backfill
+    assert set(neg_sel) >= {20, 21, 22, 23}
+    assert len(neg_sel) == 7
