@@ -72,13 +72,64 @@ class FCNMaskHead(nn.Module):
 
         gt_masks: (G, H, W) float/bool bitmap at padded input resolution;
         pos_boxes: (M, 4); pos_gt_inds: (M,) index into G.
+
+        RoIAlign is separable, so the crop is two batched matmuls
+        against per-roi interpolation matrices — the XLA gather
+        formulation read one sublane-padded row per bilinear tap and
+        dominated the train step (~0.9 s/batch at canvas res; the
+        matmul path is pure MXU work). Same adaptive-sampling
+        numerics as roi_align_single (SWINDET_GATHER_MASK_TARGETS=1
+        restores the old path for A/B).
         """
-        rois = jnp.concatenate(
-            [pos_gt_inds[:, None].astype(jnp.float32), pos_boxes], axis=-1)
-        feats = gt_masks.astype(jnp.float32)[..., None]   # (G, H, W, 1)
-        crops = roi_align_single(feats, rois, 1.0, mask_size,
-                                 sampling_ratio=0)
-        return (crops[..., 0] >= 0.5).astype(jnp.float32)
+        import os
+        if os.environ.get('SWINDET_GATHER_MASK_TARGETS'):
+            rois = jnp.concatenate(
+                [pos_gt_inds[:, None].astype(jnp.float32), pos_boxes],
+                axis=-1)
+            feats = gt_masks.astype(jnp.float32)[..., None]
+            crops = roi_align_single(feats, rois, 1.0, mask_size,
+                                     sampling_ratio=0)
+            return (crops[..., 0] >= 0.5).astype(jnp.float32)
+
+        from ...ops.roi_align import SR0_GMAX, adaptive_grid
+        from ...ops.roi_align_pallas import _interp_matrices
+        g, hh, ww = gt_masks.shape
+        m = pos_boxes.shape[0]
+        s = mask_size
+        r = SR0_GMAX
+        x1 = pos_boxes[:, 0] - 0.5
+        y1 = pos_boxes[:, 1] - 0.5
+        x2 = pos_boxes[:, 2] - 0.5
+        y2 = pos_boxes[:, 3] - 0.5
+        bin_w = (x2 - x1) / s
+        bin_h = (y2 - y1) / s
+        bins = jnp.arange(s, dtype=jnp.float32)
+        sub_y, _, g_y = adaptive_grid(y2 - y1, s, r)
+        sub_x, _, g_x = adaptive_grid(x2 - x1, s, r)
+        ys = (y1[:, None, None]
+              + (bins[None, None, :] + sub_y[:, :, None])
+              * bin_h[:, None, None])                    # (M, r, s)
+        xs = (x1[:, None, None]
+              + (bins[None, None, :] + sub_x[:, :, None])
+              * bin_w[:, None, None])
+        slot = jnp.arange(r, dtype=jnp.float32)[None, :, None]
+        ys = jnp.where((ys >= -1.0) & (ys <= hh)
+                       & (slot < g_y[:, None, None]), ys, -2.0)
+        xs = jnp.where((xs >= -1.0) & (xs <= ww)
+                       & (slot < g_x[:, None, None]), xs, -2.0)
+        hs = jnp.full((m,), hh, jnp.int32)
+        wsz = jnp.full((m,), ww, jnp.int32)
+        zero = jnp.zeros((m,), jnp.int32)
+        ay = _interp_matrices(ys, hs, zero, hh, r, s, g_y)  # (M, s, H)
+        ax = _interp_matrices(xs, wsz, zero, ww, r, s, g_x)  # (M, s, W)
+
+        masks = jnp.take(gt_masks.astype(jnp.float32), pos_gt_inds,
+                         axis=0)                          # (M, H, W)
+        t = jnp.einsum('moh,mhw->mow', ay, masks,
+                       precision=jax.lax.Precision.HIGHEST)
+        crops = jnp.einsum('mow,mpw->mop', t, ax,
+                           precision=jax.lax.Precision.HIGHEST)
+        return (crops >= 0.5).astype(jnp.float32)
 
     # ---------------------------------------------------------------- loss
     def loss(self, mask_pred: jnp.ndarray, mask_targets: jnp.ndarray,
