@@ -322,3 +322,29 @@ def test_dynamic_rcnn_forward():
     # thresholds stay in sane ranges (update fired at count 2)
     assert float(rh['iou_thr']) >= 0.4
     assert 0 < float(rh['beta']) <= 1.0
+
+
+def test_pisa_forward():
+    """PISA: ISR-P reweighting + CARL loss (reference: pisa_loss.py,
+    pisa_roi_head.py)."""
+    cfg = tiny_maskrcnn_cfg(with_mask=False)
+    cfg['type'] = 'FasterRCNN'
+    cfg['roi_head'].pop('mask_head', None)
+    cfg['roi_head'].pop('mask_roi_extractor', None)
+    cfg['roi_head']['type'] = 'PISARoIHead'
+    cfg['train_cfg']['rcnn']['isr'] = dict(k=2, bias=0)
+    cfg['train_cfg']['rcnn']['carl'] = dict(k=1, bias=0.2)
+    model = build_detector(cfg)
+    batch = demo_inputs(b=2, h=64, w=64, with_mask=False)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'][:1], method='forward_dummy')
+    losses = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], None, method='forward_train',
+        rngs={'sampling': jax.random.PRNGKey(2)})
+    assert 'loss_carl' in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f'{k} not finite'
