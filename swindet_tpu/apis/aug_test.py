@@ -85,6 +85,55 @@ def _jit(handle, name, fn):
     return handle._jitted[name]
 
 
+def aug_test_single_stage(handle, aug_batches: List[Dict]) -> Dict:
+    """Single-stage TTA (reference: dense_test_mixins.py:60
+    aug_test_bboxes): each aug contributes its pre-NMS candidates
+    (boxes, scores, optional score factors) mapped back to the
+    original frame; candidates are CONCATENATED across augs (not
+    averaged — no shared proposal set exists) and one multiclass NMS
+    produces the final detections."""
+    module = handle.module
+    cfg = dict(module.test_cfg)
+    run = _jit(handle, 'aug_ss_bbox', lambda v, img, shp: module.apply(
+        v, img, shp, method='aug_bbox_test'))
+
+    bs, ss, fs = [], [], []
+    for ab in aug_batches:
+        boxes, scores, factors = jax.device_get(
+            run(handle.variables, ab['img'], ab['img_shapes']))
+        bs.append(map_boxes_back(boxes, ab))      # → original frame
+        ss.append(np.asarray(scores, np.float32))
+        fs.append(None if factors is None
+                  else np.asarray(factors, np.float32))
+    cat_b = np.concatenate(bs, axis=1)
+    cat_s = np.concatenate(ss, axis=1)
+    cat_f = None if fs[0] is None else np.concatenate(fs, axis=1)
+
+    # the per-image candidate pool is n_aug× the single-scale one —
+    # scale the NMS entry cap so merging can't drop candidates a
+    # single aug would have kept
+    cap = 2048 * len(aug_batches)
+    if cat_f is None:
+        final = _jit(handle, 'aug_ss_nms', lambda bx, sc: jax.vmap(
+            lambda b_, s_: multiclass_nms(
+                b_, s_, cfg['score_thr'], dict(cfg['nms']),
+                cfg.get('max_per_img', 100), pre_nms_cap=cap))(bx, sc))
+        nres = jax.device_get(final(jnp.asarray(cat_b),
+                                    jnp.asarray(cat_s)))
+    else:
+        final = _jit(handle, 'aug_ss_nms_f', lambda bx, sc, fc: jax.vmap(
+            lambda b_, s_, f_: multiclass_nms(
+                b_, s_, cfg['score_thr'], dict(cfg['nms']),
+                cfg.get('max_per_img', 100), score_factors=f_,
+                pre_nms_cap=cap))(bx, sc, fc))
+        nres = jax.device_get(final(jnp.asarray(cat_b),
+                                    jnp.asarray(cat_s),
+                                    jnp.asarray(cat_f)))
+    return dict(dets=np.asarray(nres.dets),
+                labels=np.asarray(nres.labels),
+                det_valid=np.asarray(nres.valid))
+
+
 def aug_test_two_stage(handle, aug_batches: List[Dict]) -> Dict:
     """Run TTA over ``aug_batches``; returns padded outputs in the
     ORIGINAL image frame (same schema as simple_test with rescale)."""

@@ -54,11 +54,21 @@ def single_gpu_test(model: DetectorHandle, dataset,
         groups[1 if w >= h else 0].append(i)
 
     # TTA path: every aug consumed via merge_aug machinery (reference:
-    # base.py:125 aug_test dispatch). Two-stage only; single-stage
-    # detectors fall back to the first aug.
-    if n_aug > 1 and hasattr(model.module, 'aug_rpn_test'):
+    # base.py:125 aug_test dispatch → roi test_mixins / dense-head
+    # aug_test_bboxes). No silent first-aug fallback: a model without
+    # an aug path raises.
+    if n_aug > 1:
+        from .aug_test import aug_test_single_stage, aug_test_two_stage
+        if hasattr(model.module, 'aug_rpn_test'):
+            aug_fn = aug_test_two_stage
+        elif hasattr(model.module, 'aug_bbox_test'):
+            aug_fn = aug_test_single_stage
+        else:
+            raise NotImplementedError(
+                f'{type(model.module).__name__} has no aug_test path; '
+                'drop flip/extra scales from the test pipeline')
         return _tta_test(model, processed, groups, batch_size,
-                         num_classes, mask_thr, logger)
+                         num_classes, mask_thr, logger, aug_fn=aug_fn)
     for i in range(n):
         r = processed[i]
         if isinstance(r.get('img'), list):
@@ -113,10 +123,12 @@ def single_gpu_test(model: DetectorHandle, dataset,
 
 
 def _tta_test(model: DetectorHandle, processed, groups, batch_size,
-              num_classes, mask_thr, logger=None) -> List:
+              num_classes, mask_thr, logger=None, aug_fn=None) -> List:
     """Static-shape TTA eval: one fixed canvas per (orientation group,
     aug index); every aug is merged on the aug_test path."""
     from .aug_test import aug_test_two_stage
+    if aug_fn is None:
+        aug_fn = aug_test_two_stage
     results: List = [None] * len(processed)
     t0 = time.perf_counter()
     done = 0
@@ -162,7 +174,7 @@ def _tta_test(model: DetectorHandle, processed, groups, batch_size,
                     img_shapes=jnp.asarray(img_shapes),
                     scale_factors=jnp.asarray(scale_factors),
                     flip=flip, flip_direction=flip_dir))
-            out = aug_test_two_stage(model, aug_batches)
+            out = aug_fn(model, aug_batches)
             out = {k: v[:b] for k, v in out.items()}
             # aug_test outputs are already in the original frame
             batch_results = format_results(out, metas, num_classes,

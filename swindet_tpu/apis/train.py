@@ -57,6 +57,21 @@ def train_detector(model, dataset, cfg, distributed: bool = False,
                    validate: bool = False, timestamp=None, meta=None):
     """(reference: apis/train.py:42)."""
     logger = get_root_logger(cfg.get('log_level', 'INFO'))
+
+    # the reference's ``workflow`` key (runner.run phases) is honored
+    # for its only published value [('train', N)]; interleaved 'val'
+    # phases are rejected explicitly rather than silently ignored —
+    # use ``evaluation`` (EvalHook parity) for validation.
+    workflow = cfg.get('workflow')
+    if workflow:
+        phases = {p[0] if isinstance(p, (tuple, list)) else p
+                  for p in workflow}
+        if phases - {'train'}:
+            raise ValueError(
+                f"workflow={workflow!r}: only [('train', N)] is "
+                "supported; val-loss interleaving is expressed via the "
+                "'evaluation' config key in this framework")
+
     mesh = make_mesh()
     n_dev = mesh.shape['data']
 

@@ -165,7 +165,7 @@ class PseudoSampler:
         pass
 
     def sample(self, rng, assign_result: AssignResult, bboxes, gt_bboxes,
-               gt_valid, gt_labels=None, bbox_valid=None):
+               gt_valid, gt_labels=None, bbox_valid=None, **kwargs):
         n = bboxes.shape[0]
         pos_mask = assign_result.gt_inds > 0
         neg_mask = assign_result.gt_inds == 0
@@ -287,7 +287,9 @@ class ScoreHLRSampler(RandomSampler):
     decoded boxes, two-level rank → importance) and hands it in as the
     ``hardness`` ranking key; sub-threshold negatives rank below every
     valid one (random backfill). The reference's negative label-weight
-    decay is not applied (weights stay 1) — selection semantics only.
+    decay (score_hlr_sampler.py:197-208) is applied by the RoI head via
+    ``StandardRoIHead._score_hlr_label_weights`` (it needs the prepass
+    CE losses, which live there).
     """
 
     USE_HARDNESS = True

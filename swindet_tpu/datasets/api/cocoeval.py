@@ -3,6 +3,18 @@
 CocoDataset.evaluate (reference: mmdet/datasets/coco.py:346-546):
 IoU thresholds .5:.05:.95, 101 recall points, area ranges, maxDets,
 crowd-aware greedy matching, proposal (useCats=0) mode.
+
+This file is a Python port of the evaluation protocol from
+**pycocotools** (https://github.com/cocodataset/cocoapi,
+pycocotools/cocoeval.py, (c) 2014 Piotr Dollar and Tsung-Yi Lin,
+BSD-2-Clause license). The matching loop, accumulation index
+arithmetic, and summarize() table must be bit-identical to the
+upstream protocol for mAP numbers to be comparable, so the algorithm
+is reproduced faithfully rather than redesigned. Redistribution of
+the protocol implementation retains the upstream BSD-2-Clause terms:
+redistributions must reproduce the above copyright notice, this list
+of conditions and the following disclaimer — THE SOFTWARE IS PROVIDED
+"AS IS" WITHOUT WARRANTY OF ANY KIND.
 """
 from __future__ import annotations
 

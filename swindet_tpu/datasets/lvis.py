@@ -2,11 +2,10 @@
 LVISV05Dataset, :310 LVISV1Dataset) backed by the native COCO api +
 LVISEval (datasets/api/lviseval.py).
 
-The 1203-class v1 / 1230-class v0.5 name tuples are loaded lazily from
-the annotation file's own ``categories`` records when the config does
-not override ``classes`` — carrying the full frozen lists in-source
-adds nothing (the reference hardcodes them only because its CLASSES
-must exist before the file is read; here _load resolves order first).
+The 1203-class v1 / 1230-class v0.5 name tuples default to the frozen
+lists in core/eval/class_names.py (so a config-declared ``classes=`` or
+name lookup resolves without an annotation file); the annotation
+file's own ``categories`` records override them when loaded.
 """
 from __future__ import annotations
 
@@ -19,6 +18,7 @@ from .builder import DATASETS
 from .coco import CocoDataset
 from .api.coco_api import COCO
 from .api.lviseval import LVISEval
+from ..core.eval.class_names import LVIS_CLASSES, LVIS_V1_CLASSES
 
 
 @DATASETS.register_module()
@@ -26,13 +26,13 @@ class LVISV1Dataset(CocoDataset):
     """LVIS v1: file_name derived from coco_url
     (reference: lvis.py:323-341)."""
 
-    CLASSES = None  # resolved from the annotation file's categories
+    CLASSES = LVIS_V1_CLASSES
 
     def load_annotations(self, ann_file):
         self.coco = COCO(ann_file)
         self.cat_ids = sorted(self.coco.getCatIds())
-        if self.CLASSES is None:
-            cats = self.coco.loadCats(self.cat_ids)
+        cats = self.coco.loadCats(self.cat_ids)
+        if cats and all('name' in c for c in cats):
             self.CLASSES = tuple(c['name'] for c in cats)
         self.cat2label = {cat_id: i for i, cat_id in
                           enumerate(self.cat_ids)}
@@ -108,6 +108,8 @@ class LVISV1Dataset(CocoDataset):
 class LVISDataset(LVISV1Dataset):
     """LVIS v0.5 (reference: lvis.py:9) — same machinery; v0.5 files
     carry file_name directly."""
+
+    CLASSES = LVIS_CLASSES
 
 
 LVISV05Dataset = LVISDataset

@@ -50,8 +50,23 @@ class AnchorHead(nn.Module):
         self.cls_out_channels = (self.num_classes if self.use_sigmoid_cls
                                  else self.num_classes + 1)
         self._loss_cls = build_loss(dict(cfg_cls))
-        self._loss_bbox = build_loss(dict(
-            self.loss_bbox or dict(type='L1Loss', loss_weight=1.0)))
+        cfg_bbox = self.loss_bbox or dict(type='L1Loss', loss_weight=1.0)
+        self._loss_bbox = build_loss(dict(cfg_bbox))
+        # GHM momentum>0 keeps a running per-bin density (reference:
+        # ghm_loss.py acc_sum buffers) — a flax variable threaded
+        # through the loss call functionally
+        self._ghm_cls_acc = self.variable(
+            'ghm', 'acc_sum_cls',
+            lambda: jnp.zeros((int(cfg_cls.get('bins', 10)),),
+                              jnp.float32)) \
+            if (cfg_cls.get('type') == 'GHMC'
+                and float(cfg_cls.get('momentum', 0)) > 0) else None
+        self._ghm_bbox_acc = self.variable(
+            'ghm', 'acc_sum_bbox',
+            lambda: jnp.zeros((int(dict(cfg_bbox).get('bins', 10)),),
+                              jnp.float32)) \
+            if (dict(cfg_bbox).get('type') == 'GHMR'
+                and float(dict(cfg_bbox).get('momentum', 0)) > 0) else None
         self._bbox_coder = build_bbox_coder(dict(
             self.bbox_coder or dict(type='DeltaXYWHBBoxCoder')))
         if self.train_cfg:
@@ -174,14 +189,29 @@ class AnchorHead(nn.Module):
         box_flat = jnp.concatenate([
             p.reshape(p.shape[0], -1, 4) for p in bbox_preds], axis=1)
 
-        loss_cls = self._loss_cls(cls_flat, labels, weight=label_weights,
-                                  avg_factor=num_total)
+        if self._ghm_cls_acc is not None:
+            loss_cls, acc = self._loss_cls(
+                cls_flat, labels, weight=label_weights,
+                avg_factor=num_total, acc_sum=self._ghm_cls_acc.value)
+            if not self.is_initializing():
+                self._ghm_cls_acc.value = acc
+        else:
+            loss_cls = self._loss_cls(cls_flat, labels,
+                                      weight=label_weights,
+                                      avg_factor=num_total)
         if self.reg_decoded_bbox:
             anchors = jnp.concatenate(anchor_list, 0)
             box_flat = self._bbox_coder.decode(anchors[None], box_flat)
-        loss_bbox = self._loss_bbox(box_flat, bbox_targets,
-                                    weight=bbox_weights,
-                                    avg_factor=num_total)
+        if self._ghm_bbox_acc is not None:
+            loss_bbox, acc = self._loss_bbox(
+                box_flat, bbox_targets, weight=bbox_weights,
+                avg_factor=num_total, acc_sum=self._ghm_bbox_acc.value)
+            if not self.is_initializing():
+                self._ghm_bbox_acc.value = acc
+        else:
+            loss_bbox = self._loss_bbox(box_flat, bbox_targets,
+                                        weight=bbox_weights,
+                                        avg_factor=num_total)
         return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
 
     @property
@@ -192,9 +222,12 @@ class AnchorHead(nn.Module):
 
     # --------------------------------------------------------------- boxes
     def get_bboxes(self, cls_scores, bbox_preds, img_shapes, scale_factors,
-                   cfg=None, rescale: bool = False):
+                   cfg=None, rescale: bool = False, with_nms: bool = True):
         """Batched decode + multiclass NMS (reference: anchor_head.py:592).
-        Returns padded (B, max_per_img, 5) dets + labels + valid."""
+        Returns padded (B, max_per_img, 5) dets + labels + valid.
+        With ``with_nms=False`` (TTA per-aug half, reference
+        dense_test_mixins.py:60): returns the pre-NMS candidates
+        (boxes (B, P, 4), scores (B, P, C+1)) instead."""
         cfg = cfg or self.test_cfg
         featmap_sizes = [s.shape[1:3] for s in cls_scores]
         anchors = self.get_anchors(featmap_sizes)
@@ -225,6 +258,8 @@ class AnchorHead(nn.Module):
                 # pad a background column for multiclass_nms convention
                 scores = jnp.concatenate(
                     [scores, jnp.zeros_like(scores[:, :1])], axis=-1)
+            if not with_nms:
+                return boxes, scores
             return multiclass_nms(
                 boxes, scores, cfg['score_thr'], dict(cfg['nms']),
                 cfg.get('max_per_img', 100))

@@ -176,9 +176,12 @@ class ATSSHead(AnchorHead):
 
     # --------------------------------------------------------------- boxes
     def get_bboxes(self, cls_scores, bbox_preds, centernesses, img_shapes,
-                   scale_factors, cfg=None, rescale: bool = True):
+                   scale_factors, cfg=None, rescale: bool = True,
+                   with_nms: bool = True):
         """(reference: atss_head.py _get_bboxes:377 — nms_pre ranked by
-        scores*centerness; centerness enters NMS as score_factors)."""
+        scores*centerness; centerness enters NMS as score_factors).
+        ``with_nms=False`` returns pre-NMS (boxes, scores, centerness)
+        for the TTA merge (dense_test_mixins.py:60)."""
         cfg = dict(cfg or self.test_cfg)
         featmap_sizes = [s.shape[1:3] for s in cls_scores]
         anchors = self.get_anchors(featmap_sizes)
@@ -212,6 +215,8 @@ class ATSSHead(AnchorHead):
                 boxes = boxes / scale_factor[None, :4]
             scores = jnp.concatenate(
                 [scores, jnp.zeros_like(scores[:, :1])], -1)
+            if not with_nms:
+                return boxes, scores, cness
             return multiclass_nms(boxes, scores, cfg['score_thr'],
                                   dict(cfg['nms']),
                                   cfg.get('max_per_img', 100),

@@ -197,7 +197,7 @@ class FCOSHead(nn.Module):
     # --------------------------------------------------------------- boxes
     def get_bboxes(self, cls_scores, bbox_preds, centernesses,
                    img_shapes, scale_factors, cfg=None,
-                   rescale: bool = True):
+                   rescale: bool = True, with_nms: bool = True):
         cfg = dict(cfg or self.test_cfg)
         featmap_sizes = [s.shape[1:3] for s in cls_scores]
         pts = self._get_points(featmap_sizes)
@@ -231,6 +231,8 @@ class FCOSHead(nn.Module):
                 boxes = boxes / scale_factor[None, :4]
             scores = jnp.concatenate(
                 [scores, jnp.zeros_like(scores[:, :1])], -1)
+            if not with_nms:
+                return boxes, scores, cness
             return multiclass_nms(boxes, scores, cfg['score_thr'],
                                   dict(cfg['nms']),
                                   cfg.get('max_per_img', 100),

@@ -184,7 +184,7 @@ class GFLHead(AnchorHead):
 
     # --------------------------------------------------------------- boxes
     def get_bboxes(self, cls_scores, bbox_preds, img_shapes, scale_factors,
-                   cfg=None, rescale: bool = True):
+                   cfg=None, rescale: bool = True, with_nms: bool = True):
         """(reference: gfl_head.py _get_bboxes:373 — integral decode at
         anchor centers × stride)."""
         cfg = dict(cfg or self.test_cfg)
@@ -219,6 +219,8 @@ class GFLHead(AnchorHead):
                 boxes = boxes / scale_factor[None, :4]
             scores = jnp.concatenate(
                 [scores, jnp.zeros_like(scores[:, :1])], -1)
+            if not with_nms:
+                return boxes, scores
             return multiclass_nms(boxes, scores, cfg['score_thr'],
                                   dict(cfg['nms']),
                                   cfg.get('max_per_img', 100))

@@ -275,7 +275,7 @@ class RepPointsHead(nn.Module):
     # --------------------------------------------------------------- boxes
     def get_bboxes(self, cls_scores, pts_init_preds, pts_refine_preds,
                    img_shapes, scale_factors, cfg=None,
-                   rescale: bool = True):
+                   rescale: bool = True, with_nms: bool = True):
         cfg = dict(cfg or self.test_cfg)
         featmap_sizes = [s.shape[1:3] for s in cls_scores]
         points = self.get_points(featmap_sizes)
@@ -314,6 +314,8 @@ class RepPointsHead(nn.Module):
                 boxes = boxes / scale_factor[None, :4]
             scores = jnp.concatenate(
                 [scores, jnp.zeros_like(scores[:, :1])], -1)
+            if not with_nms:
+                return boxes, scores
             return multiclass_nms(boxes, scores, cfg['score_thr'],
                                   dict(cfg['nms']),
                                   cfg.get('max_per_img', 100))

@@ -212,7 +212,7 @@ class VFNetHead(FCOSHead):
     # --------------------------------------------------------------- boxes
     def get_bboxes(self, cls_scores, bbox_preds, bbox_preds_refine,
                    img_shapes, scale_factors, cfg=None,
-                   rescale: bool = True):
+                   rescale: bool = True, with_nms: bool = True):
         """Refined boxes + sigmoid scores, no centerness (reference:
         vfnet_head.py get_bboxes:472)."""
         from ...core.nms import multiclass_nms, fast_topk
@@ -242,6 +242,8 @@ class VFNetHead(FCOSHead):
                 boxes = boxes / scale_factor[None, :4]
             scores = jnp.concatenate(
                 [scores, jnp.zeros_like(scores[:, :1])], -1)
+            if not with_nms:
+                return boxes, scores
             return multiclass_nms(boxes, scores, cfg['score_thr'],
                                   dict(cfg['nms']),
                                   cfg.get('max_per_img', 100))

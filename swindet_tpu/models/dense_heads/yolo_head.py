@@ -161,7 +161,7 @@ class YOLOV3Head(nn.Module):
 
     # --------------------------------------------------------------- boxes
     def get_bboxes(self, pred_maps, img_shapes, scale_factors, cfg=None,
-                   rescale: bool = True):
+                   rescale: bool = True, with_nms: bool = True):
         """(reference: yolo_head.py _get_bboxes:210 — sigmoid xy/conf/cls,
         conf_thr filter, conf-factored NMS)."""
         cfg = dict(cfg or self.test_cfg)
@@ -197,6 +197,12 @@ class YOLOV3Head(nn.Module):
             valid = conf >= conf_thr if conf_thr > 0 else None
             scores = jnp.concatenate(
                 [scores, jnp.zeros_like(scores[:, :1])], -1)
+            if not with_nms:
+                # fold conf_thr into the factor so the TTA merge keeps
+                # the same filtering semantics
+                fconf = conf if valid is None else jnp.where(valid, conf,
+                                                             0.0)
+                return boxes, scores, fconf
             return multiclass_nms(boxes, scores, cfg['score_thr'],
                                   dict(cfg['nms']),
                                   cfg.get('max_per_img', 100),

@@ -82,6 +82,27 @@ class SingleStageDetector(nn.Module):
         return dict(dets=res.dets, labels=res.labels,
                     det_valid=res.valid)
 
+    def aug_bbox_test(self, img, img_shapes):
+        """Per-aug half of single-stage TTA (reference:
+        dense_test_mixins.py:60 aug_test_bboxes): pre-NMS candidates in
+        the AUG frame — (boxes (B,P,4), scores (B,P,C+1), factors
+        (B,P) or None). The host merges augs and runs one NMS
+        (apis/aug_test.py aug_test_single_stage)."""
+        feats = self.extract_feat(img)
+        outs = self._bbox_head(feats)
+        if not isinstance(outs[0], (tuple, list)):
+            # single pred-map-tuple heads (YOLOv3) return a flat tuple
+            # of per-level arrays
+            outs = (outs,)
+        b = img.shape[0]
+        sf = jnp.ones((b, 4), jnp.float32)
+        res = self._bbox_head.get_bboxes(
+            *outs, img_shapes, sf, cfg=dict(self.test_cfg),
+            rescale=False, with_nms=False)
+        boxes, scores = res[0], res[1]
+        factors = res[2] if len(res) > 2 else None
+        return boxes, scores, factors
+
 
 @DETECTORS.register_module()
 class RetinaNet(SingleStageDetector):

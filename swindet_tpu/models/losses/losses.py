@@ -340,24 +340,39 @@ class BalancedL1Loss:
             loss, weight, reduction, avg_factor)
 
 
-def _ghm_weights(g, valid, bins, tot):
+def _ghm_weights(g, valid, bins, tot, momentum: float = 0.0,
+                 acc_sum=None):
     """Gradient-density harmonizing weights (reference: ghm_loss.py
-    :78-90, momentum=0 path), vectorized: histogram by segment-sum,
-    weight = tot / count[bin] / n_nonempty_bins."""
+    :78-90), vectorized: histogram by segment-sum, weight =
+    tot / density[bin] / n_nonempty_bins. With ``momentum > 0`` and an
+    ``acc_sum`` running state, density is the EMA
+    ``momentum*acc + (1-momentum)*count`` per non-empty bin (reference
+    :83-86); returns (weights, new_acc_sum)."""
     bin_idx = jnp.clip((g * bins).astype(jnp.int32), 0, bins - 1)
     counts = jnp.zeros((bins,), jnp.float32).at[bin_idx].add(
         valid.astype(jnp.float32))
-    n_valid_bins = jnp.sum(counts > 0).astype(jnp.float32)
-    w = jnp.where(valid & (jnp.take(counts, bin_idx) > 0),
-                  tot / jnp.maximum(jnp.take(counts, bin_idx), 1.0), 0.0)
-    return w / jnp.maximum(n_valid_bins, 1.0)
+    nonempty = counts > 0
+    if momentum > 0 and acc_sum is not None:
+        acc_new = jnp.where(nonempty,
+                            momentum * acc_sum + (1 - momentum) * counts,
+                            acc_sum)
+        denom = acc_new
+    else:
+        acc_new = acc_sum
+        denom = counts
+    n_valid_bins = jnp.sum(nonempty).astype(jnp.float32)
+    w = jnp.where(valid & jnp.take(nonempty, bin_idx),
+                  tot / jnp.maximum(jnp.take(denom, bin_idx), 1e-6), 0.0)
+    return w / jnp.maximum(n_valid_bins, 1.0), acc_new
 
 
 @LOSSES.register_module()
 class GHMC:
-    """GHM classification loss (reference: ghm_loss.py:21; momentum=0
-    exactly — the running acc_sum variant needs mutable state and is
-    approximated by per-batch densities, which momentum=0 IS)."""
+    """GHM classification loss (reference: ghm_loss.py:21). The
+    ``momentum > 0`` running ``acc_sum`` is threaded functionally: the
+    owning head keeps a flax variable and passes/receives it via the
+    ``acc_sum`` kwarg (see AnchorHead.setup); called without it the
+    loss runs the momentum=0 per-batch density path."""
 
     def __init__(self, bins: int = 10, momentum: float = 0,
                  use_sigmoid: bool = True, loss_weight: float = 1.0):
@@ -367,7 +382,7 @@ class GHMC:
         self.loss_weight = loss_weight
 
     def __call__(self, pred, target, label_weight=None, weight=None,
-                 avg_factor=None, **kwargs):
+                 avg_factor=None, acc_sum=None, **kwargs):
         pred = pred.astype(jnp.float32)
         if label_weight is None:
             label_weight = weight if weight is not None else \
@@ -382,10 +397,14 @@ class GHMC:
         valid = label_weight > 0
         tot = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
         g = jnp.abs(jax.lax.stop_gradient(jax.nn.sigmoid(pred)) - target)
-        w = _ghm_weights(g.reshape(-1), valid.reshape(-1), self.bins,
-                         tot).reshape(pred.shape)
+        w, acc_new = _ghm_weights(g.reshape(-1), valid.reshape(-1),
+                                  self.bins, tot, self.momentum, acc_sum)
+        w = w.reshape(pred.shape)
         loss = jnp.sum(_bce_with_logits(pred, target) * w) / tot
-        return self.loss_weight * loss
+        loss = self.loss_weight * loss
+        if acc_sum is not None:
+            return loss, acc_new
+        return loss
 
 
 @LOSSES.register_module()
@@ -401,7 +420,7 @@ class GHMR:
         self.loss_weight = loss_weight
 
     def __call__(self, pred, target, label_weight=None, weight=None,
-                 avg_factor=None, **kwargs):
+                 avg_factor=None, acc_sum=None, **kwargs):
         pred = pred.astype(jnp.float32)
         target = target.astype(jnp.float32)
         if label_weight is None:
@@ -417,10 +436,14 @@ class GHMR:
             diff / jnp.sqrt(mu * mu + diff * diff)))
         valid = label_weight > 0
         tot = jnp.maximum(jnp.sum(label_weight.astype(jnp.float32)), 1.0)
-        w = _ghm_weights(g.reshape(-1), valid.reshape(-1), self.bins,
-                         tot).reshape(pred.shape)
+        w, acc_new = _ghm_weights(g.reshape(-1), valid.reshape(-1),
+                                  self.bins, tot, self.momentum, acc_sum)
+        w = w.reshape(pred.shape)
         loss = jnp.sum(loss * w) / tot
-        return self.loss_weight * loss
+        loss = self.loss_weight * loss
+        if acc_sum is not None:
+            return loss, acc_new
+        return loss
 
 
 @LOSSES.register_module()

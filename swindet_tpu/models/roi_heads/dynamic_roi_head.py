@@ -63,12 +63,19 @@ class DynamicRoIHead(StandardRoIHead):
                 props, gb, gv, gl, bbox_valid=pvalid,
                 pos_iou_thr=iou_thr, neg_iou_thr=iou_thr,
                 min_pos_iou=iou_thr)
-            # record the iou_topk-th largest IoU (reference :76)
-            k = min(self._iou_topk, assign.max_overlaps.shape[0])
-            top, _ = jax.lax.top_k(assign.max_overlaps, k)
+            # record the iou_topk-th largest IoU over VALID proposals
+            # only, clamping k to the valid count like the reference's
+            # min(iou_topk, len(max_overlaps)) (reference :76); padded
+            # slots would otherwise bias the threshold low.
+            ov = jnp.where(pvalid, assign.max_overlaps, -jnp.inf)
+            k = min(self._iou_topk, ov.shape[0])
+            top, _ = jax.lax.top_k(ov, k)
+            n_valid = jnp.sum(pvalid).astype(jnp.int32)
+            kth_idx = jnp.clip(jnp.minimum(k, n_valid) - 1, 0)
+            kth = jnp.where(n_valid > 0, top[kth_idx], 0.0)
             samp = self._sampler.sample(r, assign, props, gb, gv, gl,
                                         bbox_valid=pvalid)
-            return samp, top[k - 1]
+            return samp, kth
 
         rngs = jax.random.split(rng, b)
         samp, kth_iou = jax.vmap(assign_sample)(

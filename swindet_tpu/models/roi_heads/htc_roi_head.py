@@ -370,19 +370,17 @@ class HybridTaskCascadeRoIHead(CascadeRoIHead):
                 mask_feats = self._fuse_semantic(mask_feats, sem_feat,
                                                  mask_rois)
             flat_labels = nms_res.labels.reshape(-1)
-            # info-flow accumulation then stage average (reference
-            # :377-392: each stage's pred adds the previous partial sum)
+            # single-image test chains last_feat through the info flow but
+            # does NOT accumulate predictions (reference htc_roi_head.py
+            # :432-441 — accumulation happens only in _mask_forward_test
+            # used by aug_test); each stage's own sigmoid is averaged.
             last_feat = None
-            last_pred = None
             stage_preds = []
             for stage in range(self.num_stages):
                 if self.mask_info_flow:
                     pred, last_feat = self._mask_heads[stage](
                         mask_feats, last_feat, return_logits=True,
                         return_feat=True)
-                    if last_pred is not None:
-                        pred = pred + last_pred
-                    last_pred = pred
                 else:
                     pred = self._mask_heads[stage](mask_feats)
                 stage_preds.append(self._mask_heads[stage].get_mask_probs(

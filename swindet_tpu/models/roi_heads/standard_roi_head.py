@@ -112,7 +112,12 @@ class StandardRoIHead(nn.Module):
     def _score_hlr_priority(self, feats, proposals, gt_bboxes,
                             proposal_valid):
         """Per-candidate Score-HLR importance (reference:
-        score_hlr_sampler.py:128 _sample_neg, stop-gradient)."""
+        score_hlr_sampler.py:128 _sample_neg, stop-gradient).
+
+        Returns (imp, ce_bg): importance per candidate (-1e4 sentinel
+        for sub-threshold) and the per-candidate background CE loss
+        (reference's ``ori_loss``) used to normalise the negative
+        label-weight decay."""
         from ...core.nms import nms_match
         b, p = proposals.shape[:2]
         if self._sampler.add_gt_as_proposals:
@@ -126,7 +131,9 @@ class StandardRoIHead(nn.Module):
         cls_score, bbox_pred = self._bbox_forward(feats, rois)
         cls_score = jax.lax.stop_gradient(cls_score.astype(jnp.float32))
         bbox_pred = jax.lax.stop_gradient(bbox_pred.astype(jnp.float32))
-        probs = jax.nn.softmax(cls_score, axis=-1)[:, :-1]
+        logp = jax.nn.log_softmax(cls_score, axis=-1)
+        ce_bg = -logp[:, -1]          # CE vs background label (:141)
+        probs = jnp.exp(logp)[:, :-1]
         max_score = probs.max(-1)
         arg = probs.argmax(-1)
         k = bbox_pred.shape[-1] // 4
@@ -150,9 +157,49 @@ class StandardRoIHead(nn.Module):
             imp = jnp.where(ok_i, n_valid - rank + score, -1e4)
             return imp
 
-        return jax.vmap(per_image)(
+        imp = jax.vmap(per_image)(
             dets.reshape(b, n, 5),
             thr_ok.reshape(b, n))
+        return imp, ce_bg.reshape(b, n)
+
+    def _score_hlr_label_weights(self, samp, imp, ce_bg, cand_neg):
+        """Negative label-weight decay (reference:
+        score_hlr_sampler.py:197-208): HLR-selected negatives get
+        ``((up_bound - imp_rank)/up_bound)`` mapped through
+        ``(bias + (1-bias)*w)**k`` and renormalised so the summed
+        background CE is unchanged. Returns (B, num) weights (1 for
+        positives/invalid slots)."""
+        k_pow = self._sampler.k
+        bias = self._sampler.bias
+
+        def per_image(s, imp_i, ce_i, neg_i):
+            valid_cand = (imp_i > -1e3) & neg_i   # thr_ok negatives
+            # rank of each valid negative by importance descending;
+            # everything else sorts last so valid ranks are compact
+            imp_m = jnp.where(valid_cand, imp_i, -jnp.inf)
+            order = jnp.argsort(-imp_m)
+            rank = jnp.argsort(order).astype(jnp.float32)
+            neg_slot = s.valid & ~s.is_pos
+            slot_rank = jnp.take(rank, s.inds)
+            slot_hlr = jnp.take(valid_cand, s.inds) & neg_slot
+            num_valid = jnp.sum(valid_cand).astype(jnp.float32)
+            num_expected = jnp.sum(neg_slot).astype(jnp.float32)
+            up = jnp.maximum(jnp.maximum(num_expected, num_valid), 1.0)
+            w_hlr = (up - slot_rank) / up
+            # random-backfilled (sub-threshold) negatives get the
+            # minimum HLR weight (:201)
+            wmin = jnp.min(jnp.where(slot_hlr, w_hlr, jnp.inf))
+            wmin = jnp.where(jnp.isfinite(wmin), wmin, 1.0)
+            w = jnp.where(slot_hlr, w_hlr, wmin)
+            w = (bias + (1.0 - bias) * w) ** k_pow
+            slot_loss = jnp.take(ce_i, s.inds)
+            denom = jnp.sum(jnp.where(neg_slot, slot_loss * w, 0.0))
+            numer = jnp.sum(jnp.where(neg_slot, slot_loss, 0.0))
+            norm = jnp.where(denom > 0, numer / denom, 1.0)
+            w = w * norm
+            return jnp.where(neg_slot, w, 1.0)
+
+        return jax.vmap(per_image)(samp, imp, ce_bg, cand_neg)
 
     # ---------------------------------------------------------------- train
     def forward_train(self, rng, feats, proposals, proposal_valid,
@@ -172,9 +219,10 @@ class StandardRoIHead(nn.Module):
         num = self._sampler.num
 
         hardness = None
+        hlr_ce_bg = None
         if getattr(self._sampler, 'USE_HARDNESS', False):
             if getattr(self._sampler, 'PREPASS', 'ohem') == 'score_hlr':
-                hardness = self._score_hlr_priority(
+                hardness, hlr_ce_bg = self._score_hlr_priority(
                     feats, proposals, gt_bboxes, proposal_valid)
             else:
                 hardness = self._ohem_hardness(
@@ -184,11 +232,18 @@ class StandardRoIHead(nn.Module):
         def assign_sample(r, props, pvalid, gb, gv, gl, hard):
             assign = self._assigner.assign(props, gb, gv, gl,
                                            bbox_valid=pvalid)
-            return self._sampler.sample(r, assign, props, gb, gv, gl,
+            samp = self._sampler.sample(r, assign, props, gb, gv, gl,
                                         bbox_valid=pvalid, hardness=hard)
+            # candidate-level negative mask in the (gt-prepended)
+            # candidate frame samp.inds indexes into
+            neg = (assign.gt_inds == 0) & pvalid
+            if self._sampler.add_gt_as_proposals:
+                neg = jnp.concatenate(
+                    [jnp.zeros((gb.shape[0],), bool), neg])
+            return samp, neg
 
         rngs = jax.random.split(rng, b)
-        samp: SamplingResult = jax.vmap(assign_sample)(
+        samp, cand_neg = jax.vmap(assign_sample)(
             rngs, proposals, proposal_valid, gt_bboxes, gt_valid,
             gt_labels,
             hardness if hardness is not None
@@ -206,6 +261,10 @@ class StandardRoIHead(nn.Module):
             s, dict(self.train_cfg)))(samp)
         labels, label_weights, bbox_targets, bbox_weights = \
             jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), tgt)
+        if hlr_ce_bg is not None:
+            neg_w = self._score_hlr_label_weights(samp, hardness,
+                                                  hlr_ce_bg, cand_neg)
+            label_weights = label_weights * neg_w.reshape(-1)
         losses.update(self._bbox_head.loss(
             cls_score, bbox_pred, rois, labels, label_weights,
             bbox_targets, bbox_weights))

@@ -299,22 +299,32 @@ def _roi_align_pallas_impl(feats, rois, roi_valid, strides, out_size,
     # case now that elongated rois have their own passes).
     oversize = ~taken & (valid > 0)
     k_cap = min(32, n_rois)
+    n_over = jnp.sum(oversize)
     sel = jnp.argsort(~oversize)[:k_cap]        # oversize-first, stable
     sel_over = jnp.take(oversize, sel)
 
-    def exact_tail(_):
+    def exact_tail(o):
         out_k = multilevel_roi_align(
             list(feats), jnp.take(rois, sel, axis=0), list(strides),
-            out_size, sampling_ratio, finest_scale, roi_valid=sel_over)
-        return out_k.astype(out.dtype)
+            out_size, sampling_ratio, finest_scale,
+            roi_valid=sel_over).astype(o.dtype)
+        cur = jnp.take(o, sel, axis=0)
+        return o.at[sel].set(
+            jnp.where(sel_over[:, None, None, None], out_k, cur))
 
-    out_k = jax.lax.cond(
-        jnp.any(oversize), exact_tail,
-        lambda _: jnp.zeros((k_cap, out_size, out_size, c), out.dtype),
-        operand=None)
-    cur = jnp.take(out, sel, axis=0)
-    out = out.at[sel].set(
-        jnp.where(sel_over[:, None, None, None], out_k, cur))
+    def exact_all_oversize(o):
+        # pathological batch with > k_cap oversize rois: recompute every
+        # oversize roi with the exact XLA path over the full set instead
+        # of silently zeroing the tail (advisor r2).
+        out_full = multilevel_roi_align(
+            list(feats), rois, list(strides), out_size, sampling_ratio,
+            finest_scale, roi_valid=oversize).astype(o.dtype)
+        return jnp.where(oversize[:, None, None, None], out_full, o)
+
+    out = jax.lax.cond(
+        n_over > k_cap, exact_all_oversize,
+        lambda o: jax.lax.cond(n_over > 0, exact_tail, lambda x: x, o),
+        out)
     return out
 
 
