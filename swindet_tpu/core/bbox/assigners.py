@@ -488,3 +488,78 @@ class CenterRegionAssigner:
                           axis=1)
         return AssignResult(gt_inds=gt_inds, max_overlaps=max_iof,
                             labels=labels)
+
+
+@BBOX_ASSIGNERS.register_module()
+class HungarianAssigner:
+    """One-to-one set assignment for DETR-family heads (reference:
+    mmdet/core/bbox/assigners/hungarian_assigner.py:16, assign:52).
+
+    The reference computes the weighted cost matrix on device, then
+    round-trips to the host for scipy's linear_sum_assignment; here the
+    whole thing stays under jit (core/bbox/lsa.py) so the train step has
+    no host sync. GT padding: invalid gts become constant-cost rows in
+    the LSA (optimality of the valid sub-assignment is preserved) and
+    their matches are dropped from the result.
+    """
+
+    def __init__(self, cls_cost=None, reg_cost=None, iou_cost=None):
+        from .match_costs import build_match_cost
+        self.cls_cost = build_match_cost(
+            dict(cls_cost or dict(type='ClassificationCost', weight=1.)))
+        self.reg_cost = build_match_cost(
+            dict(reg_cost or dict(type='BBoxL1Cost', weight=1.)))
+        self.iou_cost = build_match_cost(
+            dict(iou_cost or dict(type='IoUCost', iou_mode='giou',
+                                  weight=1.)))
+
+    def assign(self,
+               bbox_pred: jnp.ndarray,
+               cls_pred: jnp.ndarray,
+               gt_bboxes: jnp.ndarray,
+               gt_valid: jnp.ndarray,
+               gt_labels: jnp.ndarray,
+               img_whwh: jnp.ndarray) -> AssignResult:
+        """Args:
+            bbox_pred: (Q, 4) normalized (cx, cy, w, h) in [0, 1].
+            cls_pred: (Q, C) classification logits.
+            gt_bboxes: (G, 4) xyxy in image pixels, padded.
+            gt_valid: (G,) bool.
+            gt_labels: (G,) int.
+            img_whwh: (4,) [w, h, w, h] of the valid image region.
+        """
+        from .lsa import linear_sum_assignment
+        from .transforms import bbox_cxcywh_to_xyxy
+
+        q = bbox_pred.shape[0]
+        g = gt_bboxes.shape[0]
+        labels_safe = jnp.clip(gt_labels.astype(jnp.int32), 0)
+        cls_cost = self.cls_cost(cls_pred, labels_safe)          # (Q, G)
+        norm_gt = gt_bboxes / img_whwh[None, :]
+        reg_cost = self.reg_cost(bbox_pred, norm_gt)             # (Q, G)
+        boxes_xyxy = bbox_cxcywh_to_xyxy(bbox_pred) * img_whwh[None, :]
+        iou_cost = self.iou_cost(boxes_xyxy, gt_bboxes)          # (Q, G)
+        cost = (cls_cost + reg_cost + iou_cost).astype(jnp.float32)
+
+        if g > q:
+            # GT padding can exceed the query count (the loader pads to a
+            # fixed max); only <=Q gts can ever match, so compact valid
+            # gts to the front and solve the (Q, Q) sub-problem. Exact
+            # whenever #valid <= Q (the reference's operating regime).
+            perm = jnp.argsort(~gt_valid, stable=True)           # (G,)
+            sub = perm[:q]
+            col4sub = linear_sum_assignment(cost.T[sub], gt_valid[sub])
+            col4gt = jnp.full((g,), q, jnp.int32).at[sub].set(col4sub)
+        else:
+            # rows = gts, cols = queries
+            col4gt = linear_sum_assignment(cost.T, gt_valid)     # (G,)
+        gt_inds = jnp.zeros((q,), jnp.int32)
+        src = jnp.where(gt_valid, jnp.arange(g, dtype=jnp.int32) + 1, 0)
+        tgt = jnp.where(gt_valid, jnp.clip(col4gt, 0, q), q)  # q = scratch
+        gt_inds = jnp.zeros((q + 1,), jnp.int32).at[tgt].set(src)[:q]
+        labels = jnp.zeros((q + 1,), jnp.int32).at[tgt].set(
+            jnp.where(gt_valid, labels_safe, 0))[:q]
+        labels = jnp.where(gt_inds > 0, labels, -1)
+        return AssignResult(gt_inds=gt_inds,
+                            max_overlaps=jnp.zeros((q,), jnp.float32),
+                            labels=labels)

@@ -10,6 +10,9 @@ from .yolo_head import YOLOV3Head
 from .free_anchor_retina_head import FreeAnchorRetinaHead
 from .vfnet_head import VFNetHead
 from .fsaf_head import FSAFHead
+from .detr_head import TransformerHead
+from .embedding_rpn_head import EmbeddingRPNHead
 
 __all__ = ['AnchorHead', 'RPNHead', 'RetinaHead', 'RepPointsHead',
-           'FCOSHead', 'ATSSHead', 'GFLHead', 'SSDHead', 'YOLOV3Head', 'FreeAnchorRetinaHead', 'VFNetHead', 'FSAFHead']
+           'FCOSHead', 'ATSSHead', 'GFLHead', 'SSDHead', 'YOLOV3Head', 'FreeAnchorRetinaHead', 'VFNetHead', 'FSAFHead',
+           'TransformerHead', 'EmbeddingRPNHead']

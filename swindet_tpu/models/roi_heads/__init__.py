@@ -10,8 +10,9 @@ from .mask_scoring_roi_head import MaskIoUHead, MaskScoringRoIHead
 from .double_roi_head import DoubleConvFCBBoxHead, DoubleHeadRoIHead
 from .dynamic_roi_head import DynamicRoIHead
 from .pisa_roi_head import PISARoIHead
+from .sparse_roi_head import DIIHead, SparseRoIHead
 
 __all__ = ['SingleRoIExtractor', 'BBoxHead', 'ConvFCBBoxHead',
            'Shared2FCBBoxHead', 'Shared4Conv1FCBBoxHead', 'FCNMaskHead',
            'CascadeRoIHead', 'StandardRoIHead', 'FusedSemanticHead',
-           'HTCMaskHead', 'HybridTaskCascadeRoIHead', 'MaskIoUHead', 'MaskScoringRoIHead', 'DoubleConvFCBBoxHead', 'DoubleHeadRoIHead', 'DynamicRoIHead', 'PISARoIHead']
+           'HTCMaskHead', 'HybridTaskCascadeRoIHead', 'MaskIoUHead', 'MaskScoringRoIHead', 'DoubleConvFCBBoxHead', 'DoubleHeadRoIHead', 'DynamicRoIHead', 'PISARoIHead', 'DIIHead', 'SparseRoIHead']

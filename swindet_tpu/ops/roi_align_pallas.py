@@ -298,24 +298,34 @@ def _roi_align_pallas_impl(feats, rois, roi_valid, strides, out_size,
     # work entirely when no roi is oversize (the overwhelmingly common
     # case now that elongated rois have their own passes).
     oversize = ~taken & (valid > 0)
-    # advisor r2: the old cap of 32 could silently zero extra oversize
-    # rois. 128 slots cover any realistic batch (oversize = full-width
-    # sliver boxes only); selection is oversize-first so real ones
-    # always win slots.
-    k_cap = min(128, n_rois)
-    sel = jnp.argsort(~oversize)[:k_cap]        # oversize-first, stable
-    sel_over = jnp.take(oversize, sel)
+    # Two-tier tail: a cheap 32-slot exact pass covers the common case
+    # (a handful of full-width sliver boxes); the rare pathological
+    # batch with >32 oversize rois escalates to a 128-slot pass instead
+    # of silently zeroing the extras (advisor r2). Tiering matters:
+    # the 128-slot pass costs ~4x the 32-slot one and regressed the
+    # inference bench by ~6 ms/img when run unconditionally.
+    n_over = jnp.sum(oversize)
+    order = jnp.argsort(~oversize)              # oversize-first, stable
 
-    def exact_tail(o):
-        out_k = multilevel_roi_align(
-            list(feats), jnp.take(rois, sel, axis=0), list(strides),
-            out_size, sampling_ratio, finest_scale,
-            roi_valid=sel_over).astype(o.dtype)
-        cur = jnp.take(o, sel, axis=0)
-        return o.at[sel].set(
-            jnp.where(sel_over[:, None, None, None], out_k, cur))
+    def exact_tail_k(k_cap):
+        sel = order[:min(k_cap, n_rois)]
+        sel_over = jnp.take(oversize, sel)
 
-    out = jax.lax.cond(jnp.any(oversize), exact_tail, lambda x: x, out)
+        def run(o):
+            out_k = multilevel_roi_align(
+                list(feats), jnp.take(rois, sel, axis=0), list(strides),
+                out_size, sampling_ratio, finest_scale,
+                roi_valid=sel_over).astype(o.dtype)
+            cur = jnp.take(o, sel, axis=0)
+            return o.at[sel].set(
+                jnp.where(sel_over[:, None, None, None], out_k, cur))
+        return run
+
+    out = jax.lax.cond(
+        n_over > 32, exact_tail_k(128),
+        lambda o: jax.lax.cond(
+            n_over > 0, exact_tail_k(32), lambda x: x, o),
+        out)
     return out
 
 

@@ -20,6 +20,7 @@ BBOX_ASSIGNERS = Registry('bbox_assigner')
 BBOX_SAMPLERS = Registry('bbox_sampler')
 ANCHOR_GENERATORS = Registry('anchor_generator')
 IOU_CALCULATORS = Registry('iou_calculator')
+MATCH_COSTS = Registry('match_cost')
 
 DATASETS = Registry('dataset')
 PIPELINES = Registry('pipeline')
