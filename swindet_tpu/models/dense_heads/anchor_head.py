@@ -79,11 +79,16 @@ class AnchorHead(nn.Module):
         self._init_layers()
 
     def _init_layers(self):
+        # reference anchor_head.py init_weights: normal_init(std=0.01)
+        from ..layers import normal_init
         self.conv_cls = nn.Conv(
             self.num_base_priors * self.cls_out_channels, (1, 1),
-            dtype=self.dtype, name='conv_cls')
+            dtype=self.dtype, kernel_init=normal_init(0.01),
+            name='conv_cls')
         self.conv_reg = nn.Conv(self.num_base_priors * 4, (1, 1),
-                                dtype=self.dtype, name='conv_reg')
+                                dtype=self.dtype,
+                                kernel_init=normal_init(0.01),
+                                name='conv_reg')
 
     def forward_single(self, x, train: bool = False):
         return self.conv_cls(x), self.conv_reg(x)

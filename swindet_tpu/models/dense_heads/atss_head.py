@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..builder import HEADS, build_loss
-from ..layers import ConvModule
+from ..layers import ConvModule, bias_prob_init, normal_init
 from ...core.anchors import anchor_inside_flags
 from ...core.nms import multiclass_nms
 from .anchor_head import AnchorHead
@@ -45,13 +45,17 @@ class ATSSHead(AnchorHead):
             for i in range(self.stacked_convs)]
         self.atss_cls = nn.Conv(
             self.num_base_priors * self.cls_out_channels, (3, 3),
-            padding=[(1, 1), (1, 1)], dtype=self.dtype, name='atss_cls')
+            padding=[(1, 1), (1, 1)], dtype=self.dtype,
+            kernel_init=normal_init(0.01), bias_init=bias_prob_init(0.01),
+            name='atss_cls')
         self.atss_reg = nn.Conv(self.num_base_priors * 4, (3, 3),
                                 padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                                kernel_init=normal_init(0.01),
                                 name='atss_reg')
         self.atss_centerness = nn.Conv(
             self.num_base_priors, (3, 3), padding=[(1, 1), (1, 1)],
-            dtype=self.dtype, name='atss_centerness')
+            dtype=self.dtype, kernel_init=normal_init(0.01),
+            name='atss_centerness')
         self.scales = self.param(
             'scales', nn.initializers.ones,
             (len(self.prior_generator.strides),))

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..builder import HEADS, build_loss
-from ..layers import ConvModule
+from ..layers import ConvModule, bias_prob_init, normal_init
 from ...core.anchors import PointGenerator
 from ...core.bbox.coders import distance2bbox
 from ...core.nms import multiclass_nms
@@ -67,11 +67,16 @@ class FCOSHead(nn.Module):
             for i in range(self.stacked_convs)]
         self.conv_cls = nn.Conv(self.num_classes, (3, 3),
                                 padding=[(1, 1)] * 2, dtype=self.dtype,
+                                kernel_init=normal_init(0.01),
+                                bias_init=bias_prob_init(0.01),
                                 name='conv_cls')
         self.conv_reg = nn.Conv(4, (3, 3), padding=[(1, 1)] * 2,
-                                dtype=self.dtype, name='conv_reg')
+                                dtype=self.dtype,
+                                kernel_init=normal_init(0.01),
+                                name='conv_reg')
         self.conv_centerness = nn.Conv(1, (3, 3), padding=[(1, 1)] * 2,
                                        dtype=self.dtype,
+                                       kernel_init=normal_init(0.01),
                                        name='conv_centerness')
         self.scales = self.param('scales', nn.initializers.ones,
                                  (len(self.strides),))

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..builder import HEADS, build_loss
-from ..layers import ConvModule
+from ..layers import ConvModule, bias_prob_init, normal_init
 from ...core.anchors import anchor_inside_flags
 from ...core.bbox.coders import bbox2distance, distance2bbox
 from ...core.bbox.iou import bbox_overlaps
@@ -56,9 +56,12 @@ class GFLHead(AnchorHead):
             for i in range(self.stacked_convs)]
         self.gfl_cls = nn.Conv(self.cls_out_channels, (3, 3),
                                padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                               kernel_init=normal_init(0.01),
+                               bias_init=bias_prob_init(0.01),
                                name='gfl_cls')
         self.gfl_reg = nn.Conv(4 * (self.reg_max + 1), (3, 3),
                                padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                               kernel_init=normal_init(0.01),
                                name='gfl_reg')
         self.scales = self.param(
             'scales', nn.initializers.ones,

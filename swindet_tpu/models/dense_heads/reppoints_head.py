@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..builder import (HEADS, build_assigner, build_loss)
-from ..layers import ConvModule
+from ..layers import ConvModule, bias_prob_init, normal_init
 from ...core.anchors import PointGenerator
 from ...core.nms import multiclass_nms
 from ...ops.deform_conv import DeformConv2d
@@ -88,18 +88,21 @@ class RepPointsHead(nn.Module):
             name='reppoints_cls_conv')
         self.reppoints_cls_out = nn.Conv(
             self.cls_out_channels, (1, 1), dtype=self.dtype,
+            kernel_init=normal_init(0.01), bias_init=bias_prob_init(0.01),
             name='reppoints_cls_out')
         self.reppoints_pts_init_conv = nn.Conv(
             self.point_feat_channels, (3, 3), padding=[(1, 1)] * 2,
             dtype=self.dtype, name='reppoints_pts_init_conv')
         self.reppoints_pts_init_out = nn.Conv(
             pts_out, (1, 1), dtype=self.dtype,
+            kernel_init=normal_init(0.01),
             name='reppoints_pts_init_out')
         self.reppoints_pts_refine_conv = DeformConv2d(
             self.point_feat_channels, (3, 3), dtype=self.dtype,
             name='reppoints_pts_refine_conv')
         self.reppoints_pts_refine_out = nn.Conv(
             pts_out, (1, 1), dtype=self.dtype,
+            kernel_init=normal_init(0.01),
             name='reppoints_pts_refine_out')
         if self.transform_method == 'moment':
             self.moment_transfer = self.param(

@@ -21,22 +21,30 @@ class RetinaHead(AnchorHead):
     norm_cfg: Optional[dict] = None
 
     def _init_layers(self):
+        # reference retina_head.py init_weights: towers + preds
+        # normal_init(std=0.01), cls bias at the focal prior (-4.595)
+        from ..layers import bias_prob_init, normal_init
         self.cls_convs = [
             ConvModule(self.feat_channels, 3, padding=1,
                        norm_cfg=self.norm_cfg, act_cfg=dict(type='ReLU'),
-                       dtype=self.dtype, name=f'cls_convs{i}')
+                       dtype=self.dtype, kernel_init=normal_init(0.01),
+                       name=f'cls_convs{i}')
             for i in range(self.stacked_convs)]
         self.reg_convs = [
             ConvModule(self.feat_channels, 3, padding=1,
                        norm_cfg=self.norm_cfg, act_cfg=dict(type='ReLU'),
-                       dtype=self.dtype, name=f'reg_convs{i}')
+                       dtype=self.dtype, kernel_init=normal_init(0.01),
+                       name=f'reg_convs{i}')
             for i in range(self.stacked_convs)]
         self.retina_cls = nn.Conv(
             self.num_base_priors * self.cls_out_channels, (3, 3),
-            padding=[(1, 1), (1, 1)], dtype=self.dtype, name='retina_cls')
+            padding=[(1, 1), (1, 1)], dtype=self.dtype,
+            kernel_init=normal_init(0.01), bias_init=bias_prob_init(0.01),
+            name='retina_cls')
         self.retina_reg = nn.Conv(
             self.num_base_priors * 4, (3, 3), padding=[(1, 1), (1, 1)],
-            dtype=self.dtype, name='retina_reg')
+            dtype=self.dtype, kernel_init=normal_init(0.01),
+            name='retina_reg')
 
     def forward_single(self, x, train: bool = False):
         cls_feat = x

@@ -25,23 +25,30 @@ class RPNHead(AnchorHead):
     IS_RPN = True
 
     def _init_layers(self):
-        from ..layers import _Conv3x3Pallas
+        # reference rpn_head.py init_weights: normal_init(std=0.01) on all
+        # three convs — proposals from a random-init head stay anchor-sized
+        from ..layers import _Conv3x3Pallas, normal_init
         import jax as _jax
         if (_jax.default_backend() == 'tpu'
                 and self.in_channels % 128 == 0
                 and self.feat_channels % 128 == 0):
             self.rpn_conv = _Conv3x3Pallas(
                 out_channels=self.feat_channels, relu=True,
-                dtype=self.dtype, name='rpn_conv')
+                dtype=self.dtype, kernel_init=normal_init(0.01),
+                name='rpn_conv')
             self._rpn_conv_fused_relu = True
         else:
             self.rpn_conv = nn.Conv(self.feat_channels, (3, 3), padding=1,
-                                    dtype=self.dtype, name='rpn_conv')
+                                    dtype=self.dtype,
+                                    kernel_init=normal_init(0.01),
+                                    name='rpn_conv')
             self._rpn_conv_fused_relu = False
         self.rpn_cls = nn.Conv(self.num_base_priors * self.cls_out_channels,
-                               (1, 1), dtype=self.dtype, name='rpn_cls')
+                               (1, 1), dtype=self.dtype,
+                               kernel_init=normal_init(0.01), name='rpn_cls')
         self.rpn_reg = nn.Conv(self.num_base_priors * 4, (1, 1),
-                               dtype=self.dtype, name='rpn_reg')
+                               dtype=self.dtype,
+                               kernel_init=normal_init(0.01), name='rpn_reg')
 
     def forward_single(self, x, train: bool = False):
         x = self.rpn_conv(x)

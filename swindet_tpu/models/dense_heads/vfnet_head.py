@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..builder import HEADS, build_loss
-from ..layers import ConvModule
+from ..layers import ConvModule, bias_prob_init, normal_init
 from ...core.anchors import PointGenerator
 from ...core.bbox.coders import distance2bbox
 from ...core.bbox.iou import bbox_overlaps
@@ -84,19 +84,24 @@ class VFNetHead(FCOSHead):
             act_cfg=dict(type='ReLU'), dtype=self.dtype,
             name='vfnet_reg_conv')
         self.vfnet_reg = nn.Conv(4, (3, 3), padding=[(1, 1)] * 2,
-                                 dtype=self.dtype, name='vfnet_reg')
+                                 dtype=self.dtype,
+                                 kernel_init=normal_init(0.01),
+                                 name='vfnet_reg')
         self.vfnet_reg_refine_dconv = DeformConv2d(
             self.feat_channels, (3, 3), dtype=self.dtype,
             name='vfnet_reg_refine_dconv')
         self.vfnet_reg_refine = nn.Conv(4, (3, 3),
                                         padding=[(1, 1)] * 2,
                                         dtype=self.dtype,
+                                        kernel_init=normal_init(0.01),
                                         name='vfnet_reg_refine')
         self.vfnet_cls_dconv = DeformConv2d(
             self.feat_channels, (3, 3), dtype=self.dtype,
             name='vfnet_cls_dconv')
         self.vfnet_cls = nn.Conv(self.num_classes, (3, 3),
                                  padding=[(1, 1)] * 2, dtype=self.dtype,
+                                 kernel_init=normal_init(0.01),
+                                 bias_init=bias_prob_init(0.01),
                                  name='vfnet_cls')
         self.scales = self.param('scales', nn.initializers.ones,
                                  (len(self.strides),))

@@ -24,6 +24,26 @@ def trunc_normal_init(std: float = 0.02):
     return init
 
 
+def normal_init(std: float = 0.01):
+    """mmcv normal_init — the reference initializes detection-head conv/fc
+    prediction layers with N(0, 0.01) (reg branches often 0.001); flax's
+    lecun_normal default is ~6x wider for these fan-ins and makes a
+    random-init RPN emit near-full-canvas proposals."""
+    return nn.initializers.normal(stddev=std)
+
+
+def bias_prob_init(prior_prob: float = 0.01):
+    """mmcv bias_init_with_prob — focal-loss cls layers start with the
+    sigmoid output at `prior_prob` (reference: retina_head.py init_weights
+    bias_cls = bias_init_with_prob(0.01) = -4.595)."""
+    import math
+    val = float(-math.log((1 - prior_prob) / prior_prob))
+    return nn.initializers.constant(val)
+
+
+xavier_init = nn.initializers.xavier_uniform
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth (reference: timm DropPath used by
     swin_transformer.py blocks)."""
@@ -142,13 +162,16 @@ class _Conv3x3Pallas(nn.Module):
     out_channels: int
     relu: bool = False
     dtype: Dtype = jnp.float32
+    kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x):
         from ..ops.conv3x3 import conv3x3
-        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+        kernel = self.param('kernel',
+                            self.kernel_init or nn.initializers.lecun_normal(),
                             (3, 3, x.shape[-1], self.out_channels))
-        bias = self.param('bias', nn.initializers.zeros,
+        bias = self.param('bias', self.bias_init or nn.initializers.zeros,
                           (self.out_channels,))
         return conv3x3(x.astype(self.dtype), kernel.astype(self.dtype),
                        bias, self.relu)
@@ -168,6 +191,8 @@ class ConvModule(nn.Module):
     act_cfg: Optional[dict] = None
     bias: Union[bool, str] = 'auto'
     dtype: Dtype = jnp.float32
+    kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -194,12 +219,18 @@ class ConvModule(nn.Module):
                 and act_type in (None, 'ReLU')):
             return _Conv3x3Pallas(out_channels=self.out_channels,
                                   relu=(act_type == 'ReLU'),
-                                  dtype=self.dtype, name='conv')(x)
+                                  dtype=self.dtype,
+                                  kernel_init=self.kernel_init,
+                                  bias_init=self.bias_init, name='conv')(x)
         x = nn.Conv(self.out_channels, ks, strides=self.stride,
                     padding=padding,
                     kernel_dilation=self.dilation,
                     feature_group_count=self.groups,
-                    use_bias=use_bias, dtype=self.dtype, name='conv')(x)
+                    use_bias=use_bias, dtype=self.dtype,
+                    kernel_init=(self.kernel_init
+                                 or nn.initializers.lecun_normal()),
+                    bias_init=(self.bias_init or nn.initializers.zeros),
+                    name='conv')(x)
         if self.norm_cfg is not None:
             x = build_norm(self.norm_cfg, name='norm')(x, train=train)
             x = x.astype(self.dtype)

@@ -62,16 +62,22 @@ class ConvFCBBoxHead(nn.Module):
                        act_cfg=dict(type='ReLU'), dtype=self.dtype,
                        name=f'shared_convs{i}')
             for i in range(self.num_shared_convs)]
+        # reference convfc_bbox_head.py init_weights: shared fcs xavier,
+        # fc_cls normal(0.01), fc_reg normal(0.001)
+        from ..layers import normal_init, xavier_init
         self.shared_fcs = [
             nn.Dense(self.fc_out_channels, dtype=self.dtype,
-                     name=f'shared_fcs{i}')
+                     kernel_init=xavier_init(), name=f'shared_fcs{i}')
             for i in range(self.num_shared_fcs)]
         if self.with_cls:
             self.fc_cls = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                                   kernel_init=normal_init(0.01),
                                    name='fc_cls')
         if self.with_reg:
             out_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
-            self.fc_reg = nn.Dense(out_dim, dtype=self.dtype, name='fc_reg')
+            self.fc_reg = nn.Dense(out_dim, dtype=self.dtype,
+                                   kernel_init=normal_init(0.001),
+                                   name='fc_reg')
 
     def __call__(self, x: jnp.ndarray, train: bool = False):
         """x: (R, s, s, C) roi features → (cls (R, C+1), reg (R, 4k))."""
