@@ -166,12 +166,11 @@ def _compute(scal_ref, ay_ref, ax_ref, out_ref, strip, slot, i, r,
     out_ref[0] = o.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    'strides', 'out_size', 'sampling_ratio', 'finest_scale', 'interpret'))
-def _roi_align_pallas_impl(feats, rois, roi_valid, strides, out_size,
-                           sampling_ratio, finest_scale, interpret):
+def _geometry(feats, rois, roi_valid, strides, out_size, sampling_ratio,
+              finest_scale):
+    """Shared fwd/bwd per-roi sampling geometry: padded level maps,
+    per-roi level routing, masked sample positions, extents."""
     num_levels = len(feats)
-    c = feats[0].shape[-1]
     r = sampling_ratio if sampling_ratio > 0 else SR0_GMAX
     n_rois = rois.shape[0]
 
@@ -237,23 +236,53 @@ def _roi_align_pallas_impl(feats, rois, roi_valid, strides, out_size,
              else roi_valid.astype(jnp.int32))
     ext_y = jnp.ceil(y2) - jnp.floor(y1) + 2.0
     ext_x = jnp.ceil(x2) - jnp.floor(x1) + 2.0
+    return dict(padded=padded, true_shapes=true_shapes, lvl=lvl,
+                batch=batch, valid=valid, h_arr=h_arr, w_arr=w_arr,
+                ys=ys, xs=xs, y1=y1, x1=x1, g_y=g_y, g_x=g_x,
+                ext_y=ext_y, ext_x=ext_x, r=r, num_levels=num_levels)
+
+
+def _pass_scalars(geo, sh, sw, take, out_size):
+    """Per-pass kernel scalars + interpolation matrices (shared fwd/bwd)."""
+    r, out = geo['r'], out_size
+    my = jnp.asarray([max(t[0] - sh, 0) for t in geo['true_shapes']],
+                     jnp.int32)[geo['lvl']]
+    mx = jnp.asarray([((max(t[1] - sw, 0) + 7) & ~7)
+                      for t in geo['true_shapes']], jnp.int32)[geo['lvl']]
+    y0 = jnp.clip(jnp.floor(geo['y1']).astype(jnp.int32) - 1, 0, my)
+    x0 = jnp.clip((jnp.floor(geo['x1']).astype(jnp.int32) - 1) & ~7, 0, mx)
+    scalars = jnp.stack(
+        [geo['lvl'], geo['batch'], y0, x0, geo['h_arr'], geo['w_arr'],
+         geo['valid'], take.astype(jnp.int32),
+         geo['g_y'].astype(jnp.int32), geo['g_x'].astype(jnp.int32)],
+        axis=-1)                                        # (R, 10)
+    ay = _interp_matrices(geo['ys'], geo['h_arr'], y0, sh, r, out,
+                          geo['g_y'])
+    ax = _interp_matrices(geo['xs'], geo['w_arr'], x0, sw, r, out,
+                          geo['g_x'])
+    return scalars, ay, ax
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'strides', 'out_size', 'sampling_ratio', 'finest_scale', 'interpret'))
+def _roi_align_pallas_impl(feats, rois, roi_valid, strides, out_size,
+                           sampling_ratio, finest_scale, interpret):
+    num_levels = len(feats)
+    c = feats[0].shape[-1]
+    n_rois = rois.shape[0]
+    geo = _geometry(feats, rois, roi_valid, strides, out_size,
+                    sampling_ratio, finest_scale)
+    padded, true_shapes = geo['padded'], geo['true_shapes']
+    lvl, batch, valid = geo['lvl'], geo['batch'], geo['valid']
+    h_arr, w_arr = geo['h_arr'], geo['w_arr']
+    ys, xs, y1, x1 = geo['ys'], geo['xs'], geo['y1'], geo['x1']
+    g_y, g_x, r = geo['g_y'], geo['g_x'], geo['r']
+    ext_y, ext_x = geo['ext_y'], geo['ext_x']
 
     def one_pass(sh, sw, take):
         # per-pass max starts (same padded arrays cover both strip
         # sizes: rup8(W-sw)+sw == rup8(W) for 8-aligned sw)
-        my = jnp.asarray([max(t[0] - sh, 0) for t in true_shapes],
-                         jnp.int32)[lvl]
-        mx = jnp.asarray([((max(t[1] - sw, 0) + 7) & ~7)
-                          for t in true_shapes], jnp.int32)[lvl]
-        y0 = jnp.clip(jnp.floor(y1).astype(jnp.int32) - 1, 0, my)
-        x0 = jnp.clip((jnp.floor(x1).astype(jnp.int32) - 1) & ~7, 0, mx)
-        scalars = jnp.stack(
-            [lvl, batch, y0, x0, h_arr, w_arr, valid,
-             take.astype(jnp.int32), g_y.astype(jnp.int32),
-             g_x.astype(jnp.int32)], axis=-1)        # (R, 10)
-        # interpolation matrices built in XLA, batched over rois
-        ay = _interp_matrices(ys, h_arr, y0, sh, r, out_size, g_y)
-        ax = _interp_matrices(xs, w_arr, x0, sw, r, out_size, g_x)
+        scalars, ay, ax = _pass_scalars(geo, sh, sw, take, out_size)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_rois,),
@@ -373,10 +402,157 @@ def _rap_fwd(feats, rois, roi_valid, strides, out_size, sampling_ratio,
     return out, (feats, rois, roi_valid)
 
 
+def _roi_align_bwd_kernel(scal_ref, ay_ref, ax_ref, g_ref, *refs,
+                          num_levels: int, out_size: int, c: int,
+                          sh: int, sw: int):
+    """Per-roi window gradient scattered by read-modify-write DMA.
+
+    dL/dF over a roi's strip window is A_yᵀ · g · A_x (transpose of the
+    fwd separable interpolation). The TPU grid is SEQUENTIAL, so an
+    in-step read→add→write of the window is race-free even when roi
+    windows overlap — this turns XLA's per-tap scatter-add (~110 ms of
+    the Mask R-CNN train step, 8 fusions over s32[800k] tap indices)
+    into R bounded window DMAs + two small matmuls each.
+    """
+    # refs: num_levels aliased input bufs, num_levels output bufs (same
+    # memory — the RMW targets the outputs), then scratch.
+    out_refs = refs[num_levels:2 * num_levels]
+    win, sem = refs[2 * num_levels], refs[2 * num_levels + 1]
+    i = pl.program_id(0)
+    take = scal_ref[i, 7]
+    valid = scal_ref[i, 6]
+    lvl = scal_ref[i, 0]
+    b = scal_ref[i, 1]
+    y0 = scal_ref[i, 2]
+    x0 = scal_ref[i, 3]
+    on = (take > 0) & (valid > 0)
+
+    def copies(outward):
+        cps = []
+        for l in range(num_levels):
+            sl = out_refs[l].at[b, pl.ds(y0, sh),
+                                pl.ds(pl.multiple_of(x0, 8), sw), :]
+            cps.append(pltpu.make_async_copy(win, sl, sem) if outward
+                       else pltpu.make_async_copy(sl, win, sem))
+        return cps
+
+    for l, cp in enumerate(copies(False)):
+        @pl.when(on & (lvl == l))
+        def _():
+            cp.start()
+            cp.wait()
+
+    @pl.when(on)
+    def _():
+        a_y = ay_ref[0]                              # (out, sh)
+        a_x = ax_ref[0]                              # (out, sw)
+        gg = g_ref[0].astype(jnp.float32)            # (out, out, C)
+        t = jax.lax.dot_general(
+            a_y, gg, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)      # (sh, out_x, C)
+        G = jax.lax.dot_general(
+            a_x, t, dimension_numbers=(((0,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)      # (sw, sh, C)
+        win[...] = win[...] + G.transpose(1, 0, 2)
+
+    for l, cp in enumerate(copies(True)):
+        @pl.when(on & (lvl == l))
+        def _():
+            cp.start()
+            cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'strides', 'out_size', 'sampling_ratio', 'finest_scale', 'interpret'))
+def _roi_align_pallas_bwd_impl(feats, rois, roi_valid, g, strides,
+                               out_size, sampling_ratio, finest_scale,
+                               interpret):
+    """dL/dfeats for the strip-pass fwd: strip windows via the Pallas
+    RMW kernel; oversize rois (the fwd's exact-XLA tail) via the XLA
+    vjp on a compacted 128-slot selection, cond-gated."""
+    num_levels = len(feats)
+    c = feats[0].shape[-1]
+    n_rois = rois.shape[0]
+    geo = _geometry(feats, rois, roi_valid, strides, out_size,
+                    sampling_ratio, finest_scale)
+    bufs = [jnp.zeros(p.shape, jnp.float32) for p in geo['padded']]
+
+    taken = jnp.zeros((n_rois,), bool)
+    for sh_p, sw_p in PASSES:
+        fits = ((geo['ext_y'] <= sh_p - 2) & (geo['ext_x'] <= sw_p - 9)
+                & ~taken)
+        scalars, ay, ax = _pass_scalars(geo, sh_p, sw_p, fits, out_size)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_rois,),
+            in_specs=(
+                [pl.BlockSpec((1, out_size, sh_p), lambda i, s: (i, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, out_size, sw_p), lambda i, s: (i, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, out_size, out_size, c),
+                              lambda i, s: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)] +
+                [pl.BlockSpec(memory_space=pl.ANY)] * num_levels),
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_levels,
+            scratch_shapes=[
+                pltpu.VMEM((sh_p, sw_p, c), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ])
+        kernel = functools.partial(
+            _roi_align_bwd_kernel, num_levels=num_levels,
+            out_size=out_size, c=c, sh=sh_p, sw=sw_p)
+        bufs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct(b.shape, b.dtype)
+                       for b in bufs],
+            # inputs: scalars(0), ay(1), ax(2), g(3), bufs(4..)
+            input_output_aliases={4 + l: l for l in range(num_levels)},
+            interpret=interpret,
+        )(scalars, ay, ax, g.astype(jnp.float32), *bufs)
+        taken = taken | fits
+
+    gf = tuple(b[:, :t[0], :t[1], :].astype(feats[0].dtype)
+               for b, t in zip(bufs, geo['true_shapes']))
+
+    # Oversize tail: grads of the fwd's exact-XLA replacement rois.
+    oversize = ~taken & (geo['valid'] > 0)
+    n_over = jnp.sum(oversize)
+    order = jnp.argsort(~oversize)
+    k_cap = min(128, n_rois)
+    sel = order[:k_cap]
+    sel_over = jnp.take(oversize, sel)
+
+    def add_oversize(cur):
+        rois_sel = jnp.take(rois, sel, axis=0)
+        g_sel = jnp.take(g, sel, axis=0)
+        _, vjp = jax.vjp(
+            lambda f: multilevel_roi_align(
+                list(f), rois_sel, list(strides), out_size,
+                sampling_ratio, finest_scale,
+                roi_valid=sel_over).astype(g.dtype),
+            feats)
+        (gfo,) = vjp(g_sel)
+        return tuple(a + o.astype(a.dtype) for a, o in zip(cur, gfo))
+
+    return jax.lax.cond(n_over > 0, add_oversize, lambda x: x, gf)
+
+
 def _rap_bwd(strides, out_size, sampling_ratio, finest_scale, interpret,
              res, g):
     feats, rois, roi_valid = res
     out_dtype = feats[0].dtype  # XLA spec promotes to fp32; match pallas
+    if jax.default_backend() == 'tpu' or interpret:
+        gf = _roi_align_pallas_bwd_impl(
+            tuple(feats), rois, roi_valid, g, strides, out_size,
+            sampling_ratio, finest_scale, interpret)
+        # rois are non-differentiable in the reference (mmcv
+        # roi_align.py backward grads the input only; proposals are
+        # detached throughout mmdet) — return zero roi grads.
+        return gf, jnp.zeros_like(rois), None
     _, vjp = jax.vjp(
         lambda f, rr: multilevel_roi_align(
             list(f), rr, list(strides), out_size, sampling_ratio,

@@ -90,3 +90,35 @@ def test_extreme_aspect_roi_bounded(feats):
     # same magnitude scale as the exact result
     assert np.abs(np.asarray(out)).max() < 10 * np.abs(
         np.asarray(ref)).max() + 1.0
+
+
+def test_bwd_pallas_mixed_rois(feats, rng):
+    """Pallas RMW backward vs XLA vjp: strips + invalid + oversize tail.
+
+    Oversize (full-width sliver) rois route through the cond-gated exact
+    tail in fwd AND bwd; roi grads are intentionally zero (mmcv
+    roi_align backward grads the input only)."""
+    rois = jnp.concatenate([
+        _rois(rng, 20),
+        jnp.asarray(np.array([
+            [0, 0, 100, 671, 112],      # full-width sliver -> oversize
+            [1, 10, 10, 200, 300],
+            [0, 0, 0, 0, 0],            # padding roi
+        ], np.float32))], 0)
+    valid = jnp.asarray([True] * 21 + [True, False])
+    g_seed = np.random.RandomState(3).randn(23, 14, 14, 32)
+    g = jnp.asarray(g_seed.astype(np.float32))
+
+    def f_pal(fs):
+        return jnp.vdot(multilevel_roi_align_pallas(
+            fs, rois, STRIDES, 14, roi_valid=valid, interpret=True), g)
+
+    def f_ref(fs):
+        return jnp.vdot(multilevel_roi_align(
+            fs, rois, STRIDES, 14, roi_valid=valid), g)
+
+    g1 = jax.grad(f_pal)(tuple(feats))
+    g2 = jax.grad(f_ref)(tuple(feats))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
