@@ -40,6 +40,7 @@ class AnchorGenerator:
                            if base_sizes is None else list(base_sizes))
         assert len(self.base_sizes) == len(self.strides)
 
+        self.octave_base_scale = octave_base_scale
         if octave_base_scale is not None and scales_per_octave is not None:
             octave_scales = np.array(
                 [2**(i / scales_per_octave) for i in range(scales_per_octave)])

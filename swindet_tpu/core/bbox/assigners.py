@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional, Tuple, Union
 
 import jax.numpy as jnp
+import numpy as np
 
 from ...registries import BBOX_ASSIGNERS
 from .iou import bbox_overlaps
@@ -65,7 +66,7 @@ class MaxIoUAssigner:
                gt_bboxes_ignore: Optional[jnp.ndarray] = None,
                gt_ignore_valid: Optional[jnp.ndarray] = None,
                pos_iou_thr=None, neg_iou_thr=None,
-               min_pos_iou=None) -> AssignResult:
+               min_pos_iou=None, overlaps=None) -> AssignResult:
         """Assign each of N bboxes to one of G (padded) gt boxes.
         The threshold overrides accept traced scalars (Dynamic R-CNN's
         adaptive IoU threshold).
@@ -77,9 +78,12 @@ class MaxIoUAssigner:
             gt_labels: (G,) int or None
             bbox_valid: (N,) bool — anchors outside allowed border; invalid
                 anchors keep gt_inds == -1 (their overlaps are masked).
+            overlaps: optional precomputed (N, G) matrix (ApproxMaxIoU
+                passes the per-square max over its approx group).
         """
         n = bboxes.shape[0]
-        overlaps = bbox_overlaps(bboxes, gt_bboxes)          # (N, G)
+        if overlaps is None:
+            overlaps = bbox_overlaps(bboxes, gt_bboxes)      # (N, G)
         overlaps = jnp.where(gt_valid[None, :], overlaps, -1.0)
         if bbox_valid is not None:
             overlaps = jnp.where(bbox_valid[:, None], overlaps, -1.0)
@@ -563,3 +567,126 @@ class HungarianAssigner:
         return AssignResult(gt_inds=gt_inds,
                             max_overlaps=jnp.zeros((q,), jnp.float32),
                             labels=labels)
+
+
+@BBOX_ASSIGNERS.register_module()
+class ApproxMaxIoUAssigner(MaxIoUAssigner):
+    """Max-IoU assignment where each candidate square's overlap with a gt
+    is the max over its ``approxs_per_octave`` approx anchors (reference:
+    core/bbox/assigners/approx_max_iou_assigner.py:10 — GuidedAnchor's
+    ga_assigner). Reuses MaxIoUAssigner's 4 steps via the ``overlaps``
+    override."""
+
+    def assign(self, bboxes, gt_bboxes, gt_valid, gt_labels=None,
+               bbox_valid=None, approxs=None, approxs_per_octave=None,
+               **kwargs):
+        """bboxes: (S, 4) squares; approxs: (S * k, 4) grouped k per
+        square (anchor-major interleave: approxs[s*k+j])."""
+        if approxs is None:
+            return super().assign(bboxes, gt_bboxes, gt_valid, gt_labels,
+                                  bbox_valid=bbox_valid, **kwargs)
+        s = bboxes.shape[0]
+        k = approxs_per_octave
+        all_ov = bbox_overlaps(approxs, gt_bboxes)       # (S*k, G)
+        overlaps = all_ov.reshape(s, k, -1).max(axis=1)  # (S, G)
+        return super().assign(bboxes, gt_bboxes, gt_valid, gt_labels,
+                              bbox_valid=bbox_valid, overlaps=overlaps,
+                              **kwargs)
+
+
+def calc_region(bbox, ratio, stride, featmap_size):
+    """Region of ``bbox`` shrunk toward its center by ``ratio``, in
+    feature cells (reference: region_assigner.py:9 calc_region)."""
+    f = bbox / stride
+    x1 = jnp.round((1 - ratio) * f[..., 0] + ratio * f[..., 2])
+    y1 = jnp.round((1 - ratio) * f[..., 1] + ratio * f[..., 3])
+    x2 = jnp.round(ratio * f[..., 0] + (1 - ratio) * f[..., 2])
+    y2 = jnp.round(ratio * f[..., 1] + (1 - ratio) * f[..., 3])
+    h, w = featmap_size
+    return (jnp.clip(x1, 0, w), jnp.clip(y1, 0, h),
+            jnp.clip(x2, 0, w), jnp.clip(y2, 0, h))
+
+
+@BBOX_ASSIGNERS.register_module()
+class RegionAssigner:
+    """Center-region assignment over scale-routed levels (reference:
+    core/bbox/assigners/region_assigner.py:36 — CascadeRPN/GA). Each gt
+    paints a positive center region at its routed level, an ignore ring
+    around it, and ignore regions on the two adjacent levels; the
+    reference's in-order gt loop (later gt overwrites) becomes a
+    reversed-argmax over the padded gt axis."""
+
+    def __init__(self, center_ratio: float = 0.2,
+                 ignore_ratio: float = 0.5):
+        self.center_ratio = center_ratio
+        self.ignore_ratio = ignore_ratio
+
+    def assign(self, anchor_list, featmap_sizes, strides, anchor_scale,
+               gt_bboxes, gt_valid, gt_labels=None,
+               bbox_valid=None) -> AssignResult:
+        """anchor_list: per-level (N_l, 4) anchors (row-major grid).
+        Returns a full-set AssignResult over the concatenated levels
+        (max_overlaps is 1 for positives — the reference returns None)."""
+        num_lvls = len(anchor_list)
+        r1 = (1 - self.center_ratio) / 2
+        r2 = (1 - self.ignore_ratio) / 2
+        g = gt_bboxes.shape[0]
+
+        scale = jnp.sqrt(jnp.maximum(
+            (gt_bboxes[:, 2] - gt_bboxes[:, 0]) *
+            (gt_bboxes[:, 3] - gt_bboxes[:, 1]), 1e-6))
+        min_anchor = float(anchor_scale * strides[0])
+        tl = jnp.clip(jnp.floor(jnp.log2(scale) - np.log2(min_anchor)
+                                + 0.5),
+                      0, num_lvls - 1).astype(jnp.int32)
+
+        def in_region(centers, region):
+            x1, y1, x2, y2 = region                      # each (G,)
+            cx, cy = centers[:, 0], centers[:, 1]        # (N,)
+            return ((cx[None, :] >= x1[:, None]) &
+                    (cx[None, :] <= x2[:, None]) &
+                    (cy[None, :] >= y1[:, None]) &
+                    (cy[None, :] <= y2[:, None]))        # (G, N)
+
+        lvl_inds = []
+        for lvl in range(num_lvls):
+            stride = strides[lvl]
+            anchors = anchor_list[lvl]
+            centers = jnp.stack(
+                [(anchors[:, 0] + anchors[:, 2]) * 0.5 / stride,
+                 (anchors[:, 1] + anchors[:, 3]) * 0.5 / stride], -1)
+            at_l = (tl == lvl) & gt_valid
+            ign = in_region(centers, calc_region(
+                gt_bboxes, r2, stride, featmap_sizes[lvl])) & at_l[:, None]
+            pos = in_region(centers, calc_region(
+                gt_bboxes, r1, stride, featmap_sizes[lvl])) & at_l[:, None]
+            # center region is nested inside the ignore region, so the
+            # last gt whose ignore region covers an anchor decides it:
+            # positive if its center region also covers, else ignore
+            touched = ign | pos
+            rev = touched[::-1]
+            last_g = g - 1 - jnp.argmax(rev, axis=0)
+            has = jnp.any(touched, axis=0)
+            is_pos = jnp.take_along_axis(pos, last_g[None], 0)[0]
+            inds = jnp.where(has,
+                             jnp.where(is_pos, last_g + 1, -1), 0)
+            # adjacent-level ignore overrides everything painted so far
+            adj_l = ((tl == lvl - 1) | (tl == lvl + 1)) & gt_valid
+            adj = jnp.any(in_region(centers, calc_region(
+                gt_bboxes, r2, stride, featmap_sizes[lvl]))
+                & adj_l[:, None], axis=0)
+            inds = jnp.where(adj, -1, inds)
+            lvl_inds.append(inds.astype(jnp.int32))
+
+        gt_inds = jnp.concatenate(lvl_inds, 0)
+        if bbox_valid is not None:
+            gt_inds = jnp.where(bbox_valid, gt_inds, -1)
+        if gt_labels is not None:
+            safe = jnp.clip(gt_inds - 1, 0, None)
+            labels = jnp.where(gt_inds > 0,
+                               jnp.take(gt_labels, safe, axis=0), -1)
+        else:
+            labels = jnp.full(gt_inds.shape, -1, jnp.int32)
+        return AssignResult(gt_inds=gt_inds,
+                            max_overlaps=(gt_inds > 0).astype(jnp.float32),
+                            labels=labels.astype(jnp.int32))

@@ -263,3 +263,59 @@ def nms_match(dets: jnp.ndarray, iou_threshold: float,
     group = jnp.argmax(keeper_score, axis=1).astype(jnp.int32)
     has = jnp.any(can, axis=1)
     return jnp.where(valid & has, group, -1)
+
+
+def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+             iou_threshold: float = 0.3, sigma: float = 0.5,
+             min_score: float = 1e-3, method: str = 'gaussian',
+             max_out: Optional[int] = None,
+             valid: Optional[jnp.ndarray] = None) -> NMSResult:
+    """Soft-NMS (reference: mmcv.ops.soft_nms; arXiv:1704.04503) —
+    greedy selection with score decay instead of hard suppression.
+
+    Sequential by nature: a ``lax.scan`` of N steps (argmax + one IoU
+    row + decay each) — O(N²) VPU work, fine at the N≤1000 this is used
+    for (CornerNet decode, cascade soft-NMS test configs).
+
+    Returns NMSResult(dets (N,5) in selection order, valid) where valid
+    marks selections whose decayed score stayed above ``min_score``.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    sc = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
+    bx = boxes.astype(jnp.float32)
+
+    area = jnp.maximum(bx[:, 2] - bx[:, 0], 0) * \
+        jnp.maximum(bx[:, 3] - bx[:, 1], 0)
+
+    def step(carry, _):
+        cur, done = carry
+        i = jnp.argmax(jnp.where(done, -jnp.inf, cur))
+        s_i = cur[i]
+        b = bx[i]
+        ix1 = jnp.maximum(bx[:, 0], b[0])
+        iy1 = jnp.maximum(bx[:, 1], b[1])
+        ix2 = jnp.minimum(bx[:, 2], b[2])
+        iy2 = jnp.minimum(bx[:, 3], b[3])
+        inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
+        iou = inter / jnp.maximum(area + area[i] - inter, 1e-6)
+        if method == 'linear':
+            decay = jnp.where(iou > iou_threshold, 1.0 - iou, 1.0)
+        else:
+            decay = jnp.exp(-(iou * iou) / sigma)
+        mark = jnp.arange(n) == i
+        cur = jnp.where(done | mark, cur, cur * decay)
+        done = done | mark
+        return (cur, done), (i, s_i)
+
+    (_, _), (order, sel_scores) = jax.lax.scan(
+        step, (sc, jnp.zeros((n,), bool)), None, length=n)
+    k = n if max_out is None else min(max_out, n)
+    order = order[:k]
+    sel_scores = sel_scores[:k]
+    ok = jnp.isfinite(sel_scores) & (sel_scores > min_score)
+    sel_scores = jnp.where(jnp.isfinite(sel_scores), sel_scores, -1.0)
+    dets = jnp.concatenate(
+        [jnp.take(bx, order, axis=0), sel_scores[:, None]], -1)
+    return NMSResult(dets=dets, inds=order, valid=ok)

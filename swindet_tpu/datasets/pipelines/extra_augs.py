@@ -573,3 +573,111 @@ class SegRescale:
                 results[key] = cv2.resize(
                     seg, (w, h), interpolation=cv2.INTER_NEAREST)
         return results
+
+
+@PIPELINES.register_module()
+class RandomCenterCropPad:
+    """CornerNet-style random center crop + around-padding (reference:
+    transforms.py:1396). Train: pick ratio * crop_size canvas around a
+    random center (centers re-drawn until at least one gt survives);
+    test: center-pad to ``test_pad_mode`` shape and record ``border``."""
+
+    def __init__(self, crop_size=None, ratios=(0.9, 1.0, 1.1),
+                 border=128, mean=None, std=None, to_rgb=None,
+                 test_mode=False, test_pad_mode=('logical_or', 127),
+                 bbox_clip_border=True):
+        self.crop_size = crop_size
+        self.ratios = ratios
+        self.border = border
+        self.mean = np.asarray(mean if mean is not None else [0, 0, 0],
+                               np.float32)
+        self.test_mode = test_mode
+        self.test_pad_mode = test_pad_mode
+        self.bbox_clip_border = bbox_clip_border
+
+    @staticmethod
+    def _get_border(border, size):
+        k = 2 * border / size
+        i = pow(2, np.ceil(np.log2(np.ceil(k))) + (k == int(k)))
+        return border // i
+
+    @staticmethod
+    def _filter_boxes(patch, boxes):
+        c = (boxes[:, :2] + boxes[:, 2:4]) / 2
+        return ((c[:, 0] > patch[0]) & (c[:, 1] > patch[1]) &
+                (c[:, 0] < patch[2]) & (c[:, 1] < patch[3]))
+
+    def _crop_paste(self, image, center, size):
+        cy, cx = center
+        th, tw = size
+        h, w, c = image.shape
+        x0 = max(0, cx - tw // 2)
+        x1 = min(cx + tw // 2, w)
+        y0 = max(0, cy - th // 2)
+        y1 = min(cy + th // 2, h)
+        patch = np.array((int(x0), int(y0), int(x1), int(y1)))
+        left, right = cx - x0, x1 - cx
+        top, bottom = cy - y0, y1 - cy
+        ccy, ccx = th // 2, tw // 2
+        out = np.empty((th, tw, c), image.dtype)
+        out[:] = self.mean
+        out[ccy - top:ccy + bottom, ccx - left:ccx + right] = \
+            image[y0:y1, x0:x1]
+        border = np.array([ccy - top, ccy + bottom, ccx - left,
+                           ccx + right], np.float32)
+        return out, border, patch
+
+    def __call__(self, results):
+        rng = results.setdefault('_rng', np.random)
+        img = results['img']
+        h, w = img.shape[:2]
+        if self.test_mode or self.crop_size is None:
+            mode, val = self.test_pad_mode
+            if mode == 'logical_or':
+                th, tw = h | val, w | val
+            else:
+                th = int(np.ceil(h / val)) * val
+                tw = int(np.ceil(w / val)) * val
+            out, border, _ = self._crop_paste(img, [h // 2, w // 2],
+                                              [th, tw])
+            results['img'] = out
+            results['img_shape'] = out.shape
+            results['pad_shape'] = out.shape
+            results['border'] = border
+            return results
+
+        boxes = results.get('gt_bboxes', np.zeros((0, 4), np.float32))
+        while True:
+            scale = self.ratios[rng.randint(len(self.ratios))]
+            new_h = int(self.crop_size[0] * scale)
+            new_w = int(self.crop_size[1] * scale)
+            hb = int(self._get_border(self.border, h))
+            wb = int(self._get_border(self.border, w))
+            for _ in range(50):
+                cx = rng.randint(wb, max(w - wb, wb + 1))
+                cy = rng.randint(hb, max(h - hb, hb + 1))
+                out, border, patch = self._crop_paste(
+                    img, [cy, cx], [new_h, new_w])
+                mask = self._filter_boxes(patch, boxes)
+                if len(boxes) > 0 and not mask.any():
+                    continue
+                results['img'] = out
+                results['img_shape'] = out.shape
+                results['pad_shape'] = out.shape
+                x0, y0 = patch[0], patch[1]
+                left_w, top_h = cx - x0, cy - y0
+                ccx, ccy = new_w // 2, new_h // 2
+                for key in results.get('bbox_fields', []):
+                    m = self._filter_boxes(patch, results[key])
+                    bb = results[key][m].copy()
+                    bb[:, 0:4:2] += ccx - left_w - x0
+                    bb[:, 1:4:2] += ccy - top_h - y0
+                    if self.bbox_clip_border:
+                        bb[:, 0:4:2] = np.clip(bb[:, 0:4:2], 0, new_w)
+                        bb[:, 1:4:2] = np.clip(bb[:, 1:4:2], 0, new_h)
+                    keep = (bb[:, 2] > bb[:, 0]) & (bb[:, 3] > bb[:, 1])
+                    results[key] = bb[keep]
+                    if key == 'gt_bboxes' and 'gt_labels' in results:
+                        results['gt_labels'] = \
+                            results['gt_labels'][m][keep]
+                return results

@@ -12,7 +12,13 @@ from .vfnet_head import VFNetHead
 from .fsaf_head import FSAFHead
 from .detr_head import TransformerHead
 from .embedding_rpn_head import EmbeddingRPNHead
+from .guided_anchor_head import (FeatureAdaption, GARetinaHead, GARPNHead,
+                                 GuidedAnchorHead)
+from .corner_head import CentripetalHead, CornerHead
+from .fovea_head import FoveaHead
+from .ld_head import LDHead
 
 __all__ = ['AnchorHead', 'RPNHead', 'RetinaHead', 'RepPointsHead',
            'FCOSHead', 'ATSSHead', 'GFLHead', 'SSDHead', 'YOLOV3Head', 'FreeAnchorRetinaHead', 'VFNetHead', 'FSAFHead',
-           'TransformerHead', 'EmbeddingRPNHead']
+           'TransformerHead', 'EmbeddingRPNHead', 'GuidedAnchorHead',
+           'GARPNHead', 'GARetinaHead', 'FeatureAdaption', 'CornerHead', 'CentripetalHead', 'FoveaHead', 'LDHead']

@@ -1,10 +1,14 @@
 from .two_stage import (CascadeRCNN, FasterRCNN, HybridTaskCascade, MaskRCNN, MaskScoringRCNN,
                         TwoStageDetector)
-from .single_stage import (ATSS, FCOS, FSAF, GFL, RepPointsDetector, RetinaNet, VFNet, YOLOV3,
+from .single_stage import (ATSS, FCOS, FOVEA, FSAF, GFL,
+                           KnowledgeDistillationSingleStageDetector, CentripetalNet, CornerNet, RepPointsDetector, RetinaNet, VFNet, YOLOV3,
                            SingleStageDetector)
 from .detr import DETR
+from .rpn import RPN
 from .sparse_rcnn import SparseRCNN
 
 __all__ = ['CascadeRCNN', 'FasterRCNN', 'HybridTaskCascade', 'MaskRCNN', 'MaskScoringRCNN', 'TwoStageDetector',
            'ATSS', 'FCOS', 'FSAF', 'GFL', 'RepPointsDetector', 'RetinaNet',
-           'SingleStageDetector', 'VFNet', 'YOLOV3', 'DETR', 'SparseRCNN']
+           'SingleStageDetector', 'VFNet', 'YOLOV3', 'DETR', 'SparseRCNN',
+           'RPN', 'CornerNet', 'CentripetalNet', 'FOVEA',
+           'KnowledgeDistillationSingleStageDetector']

@@ -6,10 +6,12 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..builder import DETECTORS, build_backbone, build_head, build_neck
+from ..builder import (DETECTORS, build_backbone, build_detector
+                       as build_detector_cfg, build_head, build_neck)
 
 
 @DETECTORS.register_module()
@@ -67,17 +69,21 @@ class SingleStageDetector(nn.Module):
         """(reference: single_stage.py forward_train)."""
         feats = self.extract_feat(img, train=True)
         rng = self.make_rng('sampling')
-        cls_scores, bbox_preds = self._bbox_head(feats, train=True)
-        return self._bbox_head.loss(rng, cls_scores, bbox_preds,
+        outs = self._bbox_head(feats, train=True)
+        if not isinstance(outs[0], (tuple, list)):
+            outs = (outs,)
+        return self._bbox_head.loss(rng, *outs,
                                     gt_bboxes, gt_valid, gt_labels,
                                     img_shapes, pad_shapes)
 
     def simple_test(self, img, img_shapes, scale_factors,
                     rescale: bool = True) -> Dict[str, jnp.ndarray]:
         feats = self.extract_feat(img)
-        cls_scores, bbox_preds = self._bbox_head(feats)
+        outs = self._bbox_head(feats)
+        if not isinstance(outs[0], (tuple, list)):
+            outs = (outs,)
         res = self._bbox_head.get_bboxes(
-            cls_scores, bbox_preds, img_shapes, scale_factors,
+            *outs, img_shapes, scale_factors,
             cfg=dict(self.test_cfg), rescale=rescale)
         return dict(dets=res.dets, labels=res.labels,
                     det_valid=res.valid)
@@ -239,3 +245,60 @@ class VFNet(SingleStageDetector):
 @DETECTORS.register_module()
 class FSAF(RetinaNet):
     """(reference: detectors/fsaf.py)."""
+
+@DETECTORS.register_module()
+class CornerNet(SingleStageDetector):
+    """(reference: detectors/cornernet.py:10) — hourglass backbone, no
+    neck, CornerHead; TTA corner merging is handled by the generic
+    single-stage aug path (the reference's aug_test flip-merge operates
+    pre-NMS, which aug_test_single_stage reproduces)."""
+
+
+@DETECTORS.register_module()
+class CentripetalNet(SingleStageDetector):
+    """(reference: detectors/cornernet.py — CentripetalNet shares the
+    CornerNet detector shell with a CentripetalHead)."""
+
+
+@DETECTORS.register_module()
+class FOVEA(SingleStageDetector):
+    """(reference: detectors/fovea.py:6)."""
+
+
+@DETECTORS.register_module()
+class KnowledgeDistillationSingleStageDetector(SingleStageDetector):
+    """(reference: detectors/kd_one_stage.py:11) — a frozen teacher's
+    head outputs feed the student's distillation loss. Teacher params
+    live under params/_teacher; freeze them with
+    paramwise_cfg custom_keys {'_teacher': dict(lr_mult=0, decay_mult=0)}
+    (the LD configs set this), mirroring the reference's exclusion of
+    the teacher from the optimizer."""
+    teacher_config: Optional[Any] = None
+    teacher_ckpt: Optional[str] = None
+    eval_teacher: bool = True
+
+    def setup(self):
+        super().setup()
+        tc = self.teacher_config
+        if isinstance(tc, str):
+            from ...utils.config import Config
+            tc = dict(Config.fromfile(tc).model)
+        self._teacher = build_detector_cfg(self._with_dtype(dict(
+            tc, name='_teacher')))
+
+    def forward_dummy(self, img, num_rois: int = 100):
+        # init must trace the teacher too, or its params never exist
+        t = self._teacher._bbox_head(self._teacher.extract_feat(img))
+        return super().forward_dummy(img, num_rois), t
+
+    def forward_train(self, img, img_shapes, pad_shapes, gt_bboxes,
+                      gt_valid, gt_labels, gt_masks=None):
+        feats = self.extract_feat(img, train=True)
+        rng = self.make_rng('sampling')
+        outs = self._bbox_head(feats, train=True)
+        t_feats = self._teacher.extract_feat(img)
+        t_outs = self._teacher._bbox_head(t_feats)
+        soft = jax.tree.map(jax.lax.stop_gradient, t_outs[1])
+        return self._bbox_head.loss(rng, *outs, gt_bboxes, gt_valid,
+                                    gt_labels, img_shapes, pad_shapes,
+                                    soft_targets=soft)

@@ -101,15 +101,18 @@ class TwoStageDetector(nn.Module):
         rpn_rng = self.make_rng('sampling')
         rcnn_rng = self.make_rng('sampling')
 
-        cls_scores, bbox_preds = self._rpn_head(feats, train=True)
+        rpn_outs = self._rpn_head(feats, train=True)
         losses.update(self._rpn_head.loss(
-            rpn_rng, cls_scores, bbox_preds, gt_bboxes, gt_valid, None,
+            rpn_rng, *rpn_outs, gt_bboxes, gt_valid, None,
             img_shapes, pad_shapes))
 
         proposal_cfg = dict(self.train_cfg).get(
             'rpn_proposal', dict(self.test_cfg)['rpn'])
+        prop_kwargs = ({'use_loc_filter': False}
+                       if getattr(self._rpn_head, 'HAS_LOC_FILTER', False)
+                       else {})
         proposals, _, prop_valid = self._rpn_head.get_proposals(
-            cls_scores, bbox_preds, img_shapes, dict(proposal_cfg))
+            *rpn_outs, img_shapes, dict(proposal_cfg), **prop_kwargs)
         proposals = jax.lax.stop_gradient(proposals)
 
         roi_kwargs = {}
@@ -126,9 +129,9 @@ class TwoStageDetector(nn.Module):
         """(reference: two_stage.py:187). Returns padded dets/labels/
         det_valid (+ mask_probs)."""
         feats = self.extract_feat(img)
-        cls_scores, bbox_preds = self._rpn_head(feats)
+        rpn_outs = self._rpn_head(feats)
         proposals, _, prop_valid = self._rpn_head.get_proposals(
-            cls_scores, bbox_preds, img_shapes,
+            *rpn_outs, img_shapes,
             dict(dict(self.test_cfg)['rpn']))
         return self._roi_head.simple_test(
             feats, proposals, prop_valid, img_shapes, scale_factors,
@@ -142,9 +145,9 @@ class TwoStageDetector(nn.Module):
         """One aug's RPN proposals in ITS OWN frame: (proposals (B,P,4),
         scores (B,P), valid (B,P))."""
         feats = self.extract_feat(img)
-        cls_scores, bbox_preds = self._rpn_head(feats)
+        rpn_outs = self._rpn_head(feats)
         return self._rpn_head.get_proposals(
-            cls_scores, bbox_preds, img_shapes,
+            *rpn_outs, img_shapes,
             dict(dict(self.test_cfg)['rpn']))
 
     def aug_bbox_test(self, img, proposals, img_shapes):

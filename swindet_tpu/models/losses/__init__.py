@@ -1,7 +1,10 @@
-from .losses import (CrossEntropyLoss, FocalLoss, GIoULoss, IoULoss, L1Loss,
-                     SmoothL1Loss, accuracy, weight_reduce_loss)
+from .losses import (AssociativeEmbeddingLoss, BoundedIoULoss,
+                     CrossEntropyLoss, FocalLoss, GaussianFocalLoss,
+                     GIoULoss, IoULoss, L1Loss, SmoothL1Loss, accuracy,
+                     weight_reduce_loss)
 
 __all__ = [
-    'CrossEntropyLoss', 'FocalLoss', 'GIoULoss', 'IoULoss', 'L1Loss',
+    'AssociativeEmbeddingLoss', 'BoundedIoULoss', 'CrossEntropyLoss',
+    'FocalLoss', 'GaussianFocalLoss', 'GIoULoss', 'IoULoss', 'L1Loss',
     'SmoothL1Loss', 'accuracy', 'weight_reduce_loss',
 ]

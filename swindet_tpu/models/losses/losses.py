@@ -480,3 +480,141 @@ class VarifocalLoss:
             weight = weight[..., None]
         return self.loss_weight * weight_reduce_loss(
             loss, weight, reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class BoundedIoULoss:
+    """Bounded IoU loss (reference: losses/iou_loss.py:150
+    bounded_iou_loss, arXiv:1711.00164): per-coordinate bounded IoU
+    proxies passed through a smooth-L1 envelope. Used by GuidedAnchor's
+    shape branch on decoded anchors vs gt."""
+
+    def __init__(self, beta: float = 0.2, eps: float = 1e-3,
+                 reduction: str = 'mean', loss_weight: float = 1.0):
+        self.beta = beta
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kwargs):
+        reduction = reduction_override or self.reduction
+        pred = pred.astype(jnp.float32)
+        target = target.astype(jnp.float32)
+        px = (pred[..., 0] + pred[..., 2]) * 0.5
+        py = (pred[..., 1] + pred[..., 3]) * 0.5
+        pw = pred[..., 2] - pred[..., 0]
+        ph = pred[..., 3] - pred[..., 1]
+        tx = (target[..., 0] + target[..., 2]) * 0.5
+        ty = (target[..., 1] + target[..., 3]) * 0.5
+        tw = target[..., 2] - target[..., 0]
+        th = target[..., 3] - target[..., 1]
+        dx = tx - px
+        dy = ty - py
+        loss_dx = 1 - jnp.maximum(
+            (tw - 2 * jnp.abs(dx)) / (tw + 2 * jnp.abs(dx) + self.eps), 0)
+        loss_dy = 1 - jnp.maximum(
+            (th - 2 * jnp.abs(dy)) / (th + 2 * jnp.abs(dy) + self.eps), 0)
+        loss_dw = 1 - jnp.minimum(tw / (pw + self.eps),
+                                  pw / (tw + self.eps))
+        loss_dh = 1 - jnp.minimum(th / (ph + self.eps),
+                                  ph / (th + self.eps))
+        comb = jnp.stack([loss_dx, loss_dy, loss_dw, loss_dh], -1)
+        loss = jnp.where(comb < self.beta,
+                         0.5 * comb * comb / self.beta,
+                         comb - 0.5 * self.beta)
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class GaussianFocalLoss:
+    """Focal loss on gaussian-splatted heatmap targets (reference:
+    losses/gaussian_focal_loss.py:10; CornerNet arXiv:1808.01244 eq.1).
+    ``pred`` is a post-sigmoid probability map."""
+
+    def __init__(self, alpha: float = 2.0, gamma: float = 4.0,
+                 reduction: str = 'mean', loss_weight: float = 1.0):
+        self.alpha = alpha
+        self.gamma = gamma
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None, **kwargs):
+        reduction = reduction_override or self.reduction
+        eps = 1e-12
+        pred = pred.astype(jnp.float32)
+        target = target.astype(jnp.float32)
+        pos_w = (target == 1.0).astype(jnp.float32)
+        neg_w = (1 - target) ** self.gamma
+        pos_loss = -jnp.log(pred + eps) * (1 - pred) ** self.alpha * pos_w
+        neg_loss = -jnp.log(1 - pred + eps) * pred ** self.alpha * neg_w
+        loss = pos_loss + neg_loss
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class AssociativeEmbeddingLoss:
+    """Associative Embedding pull/push loss (reference: losses/
+    ae_loss.py:73; arXiv:1611.05424, CornerNet §3.3). Operates on
+    embeddings pre-gathered at the padded gt corner positions with a
+    validity mask (the reference's per-image python loop over dynamic
+    corner lists becomes a masked pairwise reduction)."""
+
+    def __init__(self, pull_weight: float = 0.25,
+                 push_weight: float = 0.25):
+        self.pull_weight = pull_weight
+        self.push_weight = push_weight
+
+    def __call__(self, tl_emb, br_emb, valid):
+        """tl_emb/br_emb: (B, G, M) embeddings at gt corners;
+        valid: (B, G). Returns (pull, push) summed over the batch."""
+        tl = tl_emb.astype(jnp.float32)
+        br = br_emb.astype(jnp.float32)
+        v = valid.astype(jnp.float32)                     # (B, G)
+        n = jnp.sum(v, axis=1)                            # (B,)
+        me = (tl + br) / 2.0                              # (B, G, M)
+        pull = jnp.sum(((tl - me) ** 2 + (br - me) ** 2).sum(-1) * v,
+                       axis=1) / jnp.maximum(n, 1.0)
+        # push: relu(margin - |sum_m(me_i - me_j)|) over valid i != j
+        diff = me[:, :, None, :] - me[:, None, :, :]      # (B, G, G, M)
+        mat = 1.0 - jnp.abs(diff.sum(-1))                 # margin = 1
+        g = tl.shape[1]
+        pair = (v[:, :, None] * v[:, None, :] *
+                (1.0 - jnp.eye(g)[None]))
+        push = jnp.sum(jnp.maximum(mat, 0.0) * pair, axis=(1, 2)) / \
+            jnp.maximum(n * (n - 1.0), 1.0)
+        push = jnp.where(n > 1, push, 0.0)
+        return (self.pull_weight * jnp.sum(pull),
+                self.push_weight * jnp.sum(push))
+
+
+@LOSSES.register_module()
+class KnowledgeDistillationKLDivLoss:
+    """Temperature-scaled KL divergence (reference: losses/kd_loss.py:39;
+    arXiv:1503.02531 / LD arXiv:2102.12252). Matches torch's
+    ``F.kl_div(log_softmax(p/T), softmax(q/T)).mean(1) * T²``."""
+
+    def __init__(self, reduction: str = 'mean', loss_weight: float = 1.0,
+                 T: float = 10.0):
+        assert T >= 1
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+        self.T = float(T)
+
+    def __call__(self, pred, soft_label, weight=None, avg_factor=None,
+                 reduction_override=None, **kwargs):
+        reduction = reduction_override or self.reduction
+        t = self.T
+        logp = jax.nn.log_softmax(pred.astype(jnp.float32) / t, axis=-1)
+        q = jax.nn.softmax(
+            jax.lax.stop_gradient(soft_label.astype(jnp.float32)) / t,
+            axis=-1)
+        # q * (log q - log p), with 0 log 0 = 0
+        kl = jnp.where(q > 0, q * (jnp.log(jnp.maximum(q, 1e-12)) - logp),
+                       0.0)
+        loss = kl.mean(-1) * (t * t)
+        return self.loss_weight * weight_reduce_loss(
+            loss, weight, reduction, avg_factor)

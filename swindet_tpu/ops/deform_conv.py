@@ -52,33 +52,45 @@ def deform_sample(x: jnp.ndarray, sample_y: jnp.ndarray,
 
 class DeformConv2d(nn.Module):
     """torch-compatible deformable conv (kernel kh×kw, stride 1, pad
-    (kh//2, kw//2)); ``offset`` is (B, H, W, 2*K) with (dy, dx) pairs in
-    torch channel order."""
+    (kh//2, kw//2)); ``offset`` is (B, H, W, G*2*K) with (dy, dx) pairs
+    in torch channel order, one offset set per deform group (input
+    channels split into ``deform_groups`` consecutive slices)."""
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
     use_bias: bool = False
+    deform_groups: int = 1
     dtype: Any = jnp.float32
+    kernel_init: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         kh, kw = self.kernel_size
         k = kh * kw
+        dg = self.deform_groups
         base = np.stack(np.meshgrid(
             np.arange(kh) - kh // 2, np.arange(kw) - kw // 2,
             indexing='ij'), -1).reshape(k, 2)          # (K, 2) (dy, dx)
         grid_y = np.arange(h)[:, None]
         grid_x = np.arange(w)[None, :]
 
-        off = offset.astype(jnp.float32).reshape(b, h, w, k, 2)
-        sy = grid_y[None, :, :, None] + base[None, None, None, :, 0] \
-            + off[..., 0]
-        sx = grid_x[None, :, :, None] + base[None, None, None, :, 1] \
+        off = offset.astype(jnp.float32).reshape(b, h, w, dg, k, 2)
+        sy = grid_y[None, :, :, None, None] + base[None, None, None,
+                                                   None, :, 0] \
+            + off[..., 0]                              # (B,H,W,G,K)
+        sx = grid_x[None, :, :, None, None] + base[None, None, None,
+                                                   None, :, 1] \
             + off[..., 1]
 
-        samples = deform_sample(x.astype(jnp.float32), sy, sx)
+        xg = x.astype(jnp.float32).reshape(b, h, w, dg, c // dg)
+        samples = []
+        for gi in range(dg):                           # dg is 1 or 4
+            samples.append(deform_sample(
+                xg[:, :, :, gi], sy[:, :, :, gi], sx[:, :, :, gi]))
+        samples = jnp.concatenate(samples, axis=-1)    # (B,H,W,K,C)
         weight = self.param(
-            'weight', nn.initializers.he_normal(), (k, c, self.features))
+            'weight', self.kernel_init or nn.initializers.he_normal(),
+            (k, c, self.features))
         out = jnp.einsum('bhwkc,kcf->bhwf',
                          samples.astype(self.dtype),
                          weight.astype(self.dtype),

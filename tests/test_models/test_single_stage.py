@@ -447,3 +447,104 @@ def test_nasfpn_shapes(rng):
     assert [tuple(o.shape) for o in outs] == [
         (1, 16, 16, 16), (1, 8, 8, 16), (1, 4, 4, 16),
         (1, 2, 2, 16), (1, 1, 1, 16)]
+
+
+def tiny_fovea_cfg():
+    return dict(
+        type='FOVEA',
+        backbone=dict(type='ResNet', depth=18, base_channels=16,
+                      out_indices=(1, 2, 3)),
+        neck=dict(type='FPN', in_channels=[32, 64, 128], out_channels=16,
+                  start_level=0, add_extra_convs='on_input', num_outs=5),
+        bbox_head=dict(
+            type='FoveaHead', num_classes=4, in_channels=16,
+            feat_channels=16, stacked_convs=1,
+            strides=[8, 16, 32, 64, 128],
+            base_edge_list=[16, 32, 64, 128, 256],
+            scale_ranges=((1, 64), (32, 128), (64, 256), (128, 512),
+                          (256, 2048)),
+            sigma=0.4,
+            loss_cls=dict(type='FocalLoss', use_sigmoid=True, gamma=1.5,
+                          alpha=0.4, loss_weight=1.0),
+            loss_bbox=dict(type='SmoothL1Loss', beta=0.11,
+                           loss_weight=1.0)),
+        train_cfg=dict(),
+        test_cfg=dict(nms_pre=100, score_thr=0.05,
+                      nms=dict(type='nms', iou_threshold=0.5),
+                      max_per_img=16))
+
+
+def test_fovea_forward():
+    model = build_detector(tiny_fovea_cfg())
+    batch = demo_inputs(b=2, h=64, w=64, with_mask=False)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'], method='forward_dummy')
+    losses = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], method='forward_train',
+        rngs={'sampling': jax.random.PRNGKey(2)})
+    assert np.isfinite(float(losses['loss_cls']))
+    assert np.isfinite(float(losses['loss_bbox']))
+    out = model.apply(variables, batch['img'], batch['img_shapes'],
+                      jnp.ones((2, 4), jnp.float32),
+                      method='simple_test')
+    assert out['dets'].shape == (2, 16, 5)
+
+
+def tiny_ld_cfg():
+    gfl_like = dict(
+        backbone=dict(type='ResNet', depth=18, base_channels=16,
+                      out_indices=(1, 2, 3)),
+        neck=dict(type='FPN', in_channels=[32, 64, 128], out_channels=16,
+                  start_level=0, add_extra_convs='on_output', num_outs=5),
+        train_cfg=dict(assigner=dict(type='ATSSAssigner', topk=9),
+                       allowed_border=-1, pos_weight=-1),
+        test_cfg=dict(nms_pre=100, score_thr=0.05,
+                      nms=dict(type='nms', iou_threshold=0.6),
+                      max_per_img=16))
+    head = dict(
+        num_classes=4, in_channels=16, feat_channels=16,
+        stacked_convs=1, reg_max=8,
+        norm_cfg=dict(type='GN', num_groups=4),
+        anchor_generator=dict(type='AnchorGenerator', ratios=[1.0],
+                              octave_base_scale=8, scales_per_octave=1,
+                              strides=[8, 16, 32, 64, 128]),
+        loss_cls=dict(type='QualityFocalLoss', use_sigmoid=True,
+                      beta=2.0, loss_weight=1.0),
+        loss_dfl=dict(type='DistributionFocalLoss', loss_weight=0.25),
+        loss_bbox=dict(type='GIoULoss', loss_weight=2.0))
+    teacher = dict(type='GFL', bbox_head=dict(type='GFLHead', **head),
+                   **gfl_like)
+    return dict(
+        type='KnowledgeDistillationSingleStageDetector',
+        teacher_config=teacher,
+        bbox_head=dict(type='LDHead',
+                       loss_ld=dict(
+                           type='KnowledgeDistillationKLDivLoss',
+                           loss_weight=0.25, T=10), **head),
+        **gfl_like)
+
+
+def test_ld_forward():
+    model = build_detector(tiny_ld_cfg())
+    batch = demo_inputs(b=2, h=64, w=64, with_mask=False)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'], method='forward_dummy')
+    assert '_teacher' in variables['params']
+    losses = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], method='forward_train',
+        rngs={'sampling': jax.random.PRNGKey(2)})
+    for k in ('loss_cls', 'loss_bbox', 'loss_dfl', 'loss_ld'):
+        assert np.isfinite(float(losses[k])), f'{k} not finite'
+    assert float(losses['loss_ld']) >= 0
+    out = model.apply(variables, batch['img'], batch['img_shapes'],
+                      jnp.ones((2, 4), jnp.float32),
+                      method='simple_test')
+    assert out['dets'].shape == (2, 16, 5)
