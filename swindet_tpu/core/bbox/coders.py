@@ -11,7 +11,9 @@ from typing import Optional, Sequence, Tuple
 
 import math
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...registries import BBOX_CODERS
 
@@ -236,3 +238,114 @@ class TBLRBBoxCoder:
             x2 = jnp.clip(x2, 0, ww)
             y2 = jnp.clip(y2, 0, hh)
         return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def bbox_rescale(bboxes, scale_factor=1.0):
+    """Rescale boxes around their centers (reference:
+    core/bbox/transforms.py bbox_rescale)."""
+    cx = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+    cy = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+    w = (bboxes[..., 2] - bboxes[..., 0]) * scale_factor
+    h = (bboxes[..., 3] - bboxes[..., 1]) * scale_factor
+    return jnp.stack([cx - w * 0.5, cy - h * 0.5,
+                      cx + w * 0.5, cy + h * 0.5], -1)
+
+
+@BBOX_CODERS.register_module()
+class BucketingBBoxCoder:
+    """Side-Aware Boundary Localization coder (reference:
+    core/bbox/coder/bucketing_bbox_coder.py:12; SABL arXiv:1912.04260).
+
+    encode → (offsets, offset_weights, bucket_labels, cls_weights),
+    each (N, 4*side_num); decode((cls_preds, offset_preds)) →
+    (bboxes, loc_confidence). The reference's per-k scatter of offset
+    weights becomes a sum of one-hots (top-k labels are distinct)."""
+
+    def __init__(self, num_buckets, scale_factor, offset_topk=2,
+                 offset_upperbound=1.0, cls_ignore_neighbor=True,
+                 clip_border=True):
+        self.num_buckets = num_buckets
+        self.scale_factor = scale_factor
+        self.offset_topk = offset_topk
+        self.offset_upperbound = offset_upperbound
+        self.cls_ignore_neighbor = cls_ignore_neighbor
+        self.clip_border = clip_border
+        self.side_num = int(np.ceil(num_buckets / 2.0))
+
+    def _buckets(self, proposals):
+        p = bbox_rescale(proposals, self.scale_factor)
+        pw = p[..., 2] - p[..., 0]
+        ph = p[..., 3] - p[..., 1]
+        bw = pw / self.num_buckets
+        bh = ph / self.num_buckets
+        steps = (0.5 + jnp.arange(self.side_num, dtype=jnp.float32))
+        l = p[..., 0, None] + steps * bw[..., None]
+        r = p[..., 2, None] - steps * bw[..., None]
+        t = p[..., 1, None] + steps * bh[..., None]
+        d = p[..., 3, None] - steps * bh[..., None]
+        return bw, bh, l, r, t, d
+
+    def encode(self, bboxes, gt_bboxes):
+        bw, bh, l, r, t, d = self._buckets(bboxes.astype(jnp.float32))
+        gt = gt_bboxes.astype(jnp.float32)
+        bw = jnp.maximum(bw, 1e-6)[..., None]
+        bh = jnp.maximum(bh, 1e-6)[..., None]
+        offs = [(l - gt[..., 0, None]) / bw,
+                (r - gt[..., 2, None]) / bw,
+                (t - gt[..., 1, None]) / bh,
+                (d - gt[..., 3, None]) / bh]   # each (N, side)
+
+        def side(o):
+            k = min(self.offset_topk, self.side_num)
+            topk_val, topk_idx = jax.lax.top_k(-jnp.abs(o), k)
+            topk_val = -topk_val
+            w = jax.nn.one_hot(topk_idx[..., 0], self.side_num)
+            for j in range(1, k):
+                w = w + jax.nn.one_hot(topk_idx[..., j], self.side_num) \
+                    * (topk_val[..., j:j + 1] < self.offset_upperbound)
+            lab = jax.nn.one_hot(topk_idx[..., 0], self.side_num)
+            cw = (jnp.abs(o) < 1).astype(jnp.float32)
+            return w, lab, cw
+
+        ws, labs, cws = zip(*[side(o) for o in offs])
+        offsets = jnp.concatenate(offs, -1)
+        offset_weights = jnp.concatenate(ws, -1)
+        bucket_labels = jnp.concatenate(labs, -1)
+        cls_weights = jnp.concatenate(cws, -1)
+        if self.cls_ignore_neighbor:
+            cls_weights = (~((cls_weights == 1) &
+                             (bucket_labels == 0))).astype(jnp.float32)
+        else:
+            cls_weights = jnp.ones_like(cls_weights)
+        return offsets, offset_weights, bucket_labels, cls_weights
+
+    def decode(self, bboxes, pred_bboxes, max_shape=None):
+        cls_preds, offset_preds = pred_bboxes
+        n = bboxes.shape[0]
+        s = self.side_num
+        scores = jax.nn.softmax(
+            cls_preds.astype(jnp.float32).reshape(n, 4, s), -1)
+        top2, lab2 = jax.lax.top_k(scores, 2)               # (N, 4, 2)
+        bw, bh, _, _, _, _ = self._buckets(bboxes.astype(jnp.float32))
+        p = bbox_rescale(bboxes.astype(jnp.float32), self.scale_factor)
+        best = lab2[..., 0].astype(jnp.float32)             # (N, 4)
+        l_b = p[:, 0] + (0.5 + best[:, 0]) * bw
+        r_b = p[:, 2] - (0.5 + best[:, 1]) * bw
+        t_b = p[:, 1] + (0.5 + best[:, 2]) * bh
+        d_b = p[:, 3] - (0.5 + best[:, 3]) * bh
+        offs = offset_preds.astype(jnp.float32).reshape(n, 4, s)
+        sel = jnp.take_along_axis(offs, lab2[..., :1], -1)[..., 0]
+        x1 = l_b - sel[:, 0] * bw
+        x2 = r_b - sel[:, 1] * bw
+        y1 = t_b - sel[:, 2] * bh
+        y2 = d_b - sel[:, 3] * bh
+        if self.clip_border and max_shape is not None:
+            x1 = jnp.clip(x1, 0, max_shape[1] - 1)
+            y1 = jnp.clip(y1, 0, max_shape[0] - 1)
+            x2 = jnp.clip(x2, 0, max_shape[1] - 1)
+            y2 = jnp.clip(y2, 0, max_shape[0] - 1)
+        out = jnp.stack([x1, y1, x2, y2], -1)
+        # bucketing-guided rescoring
+        conf = top2[..., 0] + top2[..., 1] * (
+            jnp.abs(lab2[..., 0] - lab2[..., 1]) == 1)
+        return out, conf.mean(-1)

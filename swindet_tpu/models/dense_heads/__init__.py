@@ -17,8 +17,10 @@ from .guided_anchor_head import (FeatureAdaption, GARetinaHead, GARPNHead,
 from .corner_head import CentripetalHead, CornerHead
 from .fovea_head import FoveaHead
 from .ld_head import LDHead
+from .sabl_retina_head import SABLRetinaHead
+from .paa_head import PAAHead
 
 __all__ = ['AnchorHead', 'RPNHead', 'RetinaHead', 'RepPointsHead',
            'FCOSHead', 'ATSSHead', 'GFLHead', 'SSDHead', 'YOLOV3Head', 'FreeAnchorRetinaHead', 'VFNetHead', 'FSAFHead',
            'TransformerHead', 'EmbeddingRPNHead', 'GuidedAnchorHead',
-           'GARPNHead', 'GARetinaHead', 'FeatureAdaption', 'CornerHead', 'CentripetalHead', 'FoveaHead', 'LDHead']
+           'GARPNHead', 'GARetinaHead', 'FeatureAdaption', 'CornerHead', 'CentripetalHead', 'FoveaHead', 'LDHead', 'SABLRetinaHead', 'PAAHead']

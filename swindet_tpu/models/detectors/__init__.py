@@ -1,6 +1,6 @@
 from .two_stage import (CascadeRCNN, FasterRCNN, HybridTaskCascade, MaskRCNN, MaskScoringRCNN,
                         TwoStageDetector)
-from .single_stage import (ATSS, FCOS, FOVEA, FSAF, GFL,
+from .single_stage import (ATSS, FCOS, FOVEA, FSAF, GFL, PAA,
                            KnowledgeDistillationSingleStageDetector, CentripetalNet, CornerNet, RepPointsDetector, RetinaNet, VFNet, YOLOV3,
                            SingleStageDetector)
 from .detr import DETR
@@ -11,4 +11,4 @@ __all__ = ['CascadeRCNN', 'FasterRCNN', 'HybridTaskCascade', 'MaskRCNN', 'MaskSc
            'ATSS', 'FCOS', 'FSAF', 'GFL', 'RepPointsDetector', 'RetinaNet',
            'SingleStageDetector', 'VFNet', 'YOLOV3', 'DETR', 'SparseRCNN',
            'RPN', 'CornerNet', 'CentripetalNet', 'FOVEA',
-           'KnowledgeDistillationSingleStageDetector']
+           'KnowledgeDistillationSingleStageDetector', 'PAA']

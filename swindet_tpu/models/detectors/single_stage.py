@@ -266,6 +266,22 @@ class FOVEA(SingleStageDetector):
 
 
 @DETECTORS.register_module()
+class PAA(SingleStageDetector):
+    """(reference: detectors/paa.py:6) — 3-output head (cls, reg, iou);
+    generic dispatch covers forward/test."""
+
+    def forward_train(self, img, img_shapes, pad_shapes, gt_bboxes,
+                      gt_valid, gt_labels, gt_masks=None):
+        feats = self.extract_feat(img, train=True)
+        rng = self.make_rng('sampling')
+        cls_scores, bbox_preds, iou_preds = self._bbox_head(feats,
+                                                            train=True)
+        return self._bbox_head.loss(rng, cls_scores, bbox_preds,
+                                    iou_preds, gt_bboxes, gt_valid,
+                                    gt_labels, img_shapes, pad_shapes)
+
+
+@DETECTORS.register_module()
 class KnowledgeDistillationSingleStageDetector(SingleStageDetector):
     """(reference: detectors/kd_one_stage.py:11) — a frozen teacher's
     head outputs feed the student's distillation loss. Teacher params

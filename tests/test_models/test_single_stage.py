@@ -548,3 +548,124 @@ def test_ld_forward():
                       jnp.ones((2, 4), jnp.float32),
                       method='simple_test')
     assert out['dets'].shape == (2, 16, 5)
+
+
+def tiny_sabl_cfg():
+    return dict(
+        type='RetinaNet',
+        backbone=dict(type='ResNet', depth=18, base_channels=16,
+                      out_indices=(1, 2, 3)),
+        neck=dict(type='FPN', in_channels=[32, 64, 128], out_channels=16,
+                  start_level=0, add_extra_convs='on_input', num_outs=5),
+        bbox_head=dict(
+            type='SABLRetinaHead', num_classes=4, in_channels=16,
+            feat_channels=16, stacked_convs=1,
+            approx_anchor_generator=dict(
+                type='AnchorGenerator', octave_base_scale=4,
+                scales_per_octave=3, ratios=[0.5, 1.0, 2.0],
+                strides=[8, 16, 32, 64, 128]),
+            square_anchor_generator=dict(
+                type='AnchorGenerator', ratios=[1.0], scales=[4],
+                strides=[8, 16, 32, 64, 128]),
+            bbox_coder=dict(type='BucketingBBoxCoder', num_buckets=14,
+                            scale_factor=3.0),
+            loss_cls=dict(type='FocalLoss', use_sigmoid=True, gamma=2.0,
+                          alpha=0.25, loss_weight=1.0),
+            loss_bbox_cls=dict(type='CrossEntropyLoss', use_sigmoid=True,
+                               loss_weight=1.5),
+            loss_bbox_reg=dict(type='SmoothL1Loss', beta=1.0 / 9.0,
+                               loss_weight=1.5)),
+        train_cfg=dict(
+            assigner=dict(type='ApproxMaxIoUAssigner', pos_iou_thr=0.5,
+                          neg_iou_thr=0.4, min_pos_iou=0.0,
+                          ignore_iof_thr=-1),
+            allowed_border=-1, pos_weight=-1),
+        test_cfg=dict(nms_pre=100, score_thr=0.05,
+                      nms=dict(type='nms', iou_threshold=0.5),
+                      max_per_img=16))
+
+
+def test_sabl_forward():
+    model = build_detector(tiny_sabl_cfg())
+    batch = demo_inputs(b=2, h=64, w=64, with_mask=False)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'], method='forward_dummy')
+    losses = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], method='forward_train',
+        rngs={'sampling': jax.random.PRNGKey(2)})
+    for k in ('loss_cls', 'loss_bbox_cls', 'loss_bbox_reg'):
+        assert np.isfinite(float(losses[k])), f'{k} not finite'
+    out = model.apply(variables, batch['img'], batch['img_shapes'],
+                      jnp.ones((2, 4), jnp.float32),
+                      method='simple_test')
+    assert out['dets'].shape == (2, 16, 5)
+
+
+def tiny_paa_cfg():
+    return dict(
+        type='PAA',
+        backbone=dict(type='ResNet', depth=18, base_channels=16,
+                      out_indices=(1, 2, 3)),
+        neck=dict(type='FPN', in_channels=[32, 64, 128], out_channels=16,
+                  start_level=0, add_extra_convs='on_output', num_outs=5),
+        bbox_head=dict(
+            type='PAAHead', reg_decoded_bbox=True, score_voting=True,
+            topk=4, num_classes=4, in_channels=16, feat_channels=16,
+            stacked_convs=1, norm_cfg=dict(type='GN', num_groups=4),
+            anchor_generator=dict(type='AnchorGenerator', ratios=[1.0],
+                                  octave_base_scale=8,
+                                  scales_per_octave=1,
+                                  strides=[8, 16, 32, 64, 128]),
+            bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                            target_means=[0., 0., 0., 0.],
+                            target_stds=[0.1, 0.1, 0.2, 0.2]),
+            loss_cls=dict(type='FocalLoss', use_sigmoid=True, gamma=2.0,
+                          alpha=0.25, loss_weight=1.0),
+            loss_bbox=dict(type='GIoULoss', loss_weight=1.3),
+            loss_centerness=dict(type='CrossEntropyLoss',
+                                 use_sigmoid=True, loss_weight=0.5)),
+        train_cfg=dict(
+            assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.1,
+                          neg_iou_thr=0.1, min_pos_iou=0,
+                          ignore_iof_thr=-1),
+            allowed_border=-1, pos_weight=-1),
+        test_cfg=dict(nms_pre=100, min_bbox_size=0, score_thr=0.05,
+                      nms=dict(type='nms', iou_threshold=0.6),
+                      max_per_img=16))
+
+
+def test_paa_forward():
+    model = build_detector(tiny_paa_cfg())
+    batch = demo_inputs(b=2, h=64, w=64, with_mask=False)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'], method='forward_dummy')
+    losses = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], method='forward_train',
+        rngs={'sampling': jax.random.PRNGKey(2)})
+    for k in ('loss_cls', 'loss_bbox', 'loss_iou'):
+        assert np.isfinite(float(losses[k])), f'{k} not finite'
+    out = model.apply(variables, batch['img'], batch['img_shapes'],
+                      jnp.ones((2, 4), jnp.float32),
+                      method='simple_test')
+    assert out['dets'].shape == (2, 16, 5)
+    assert np.all(np.isfinite(np.asarray(out['dets'])))
+
+
+def test_paa_gmm_separates_modes():
+    """Two well-separated loss clusters: EM must put the low-loss
+    cluster in component 0."""
+    from swindet_tpu.models.dense_heads.paa_head import _gmm_em_1d
+    x = jnp.asarray([0.1, 0.12, 0.15, 2.0, 2.1, 2.2, 0.0, 0.0])
+    valid = jnp.asarray([True] * 6 + [False, False])
+    resp0, loglik = _gmm_em_1d(x, valid)
+    r = np.asarray(resp0)
+    assert r[:3].all() and not r[3:6].any()
+    assert np.isfinite(np.asarray(loglik)[:6]).all()
