@@ -319,3 +319,59 @@ def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     dets = jnp.concatenate(
         [jnp.take(bx, order, axis=0), sel_scores[:, None]], -1)
     return NMSResult(dets=dets, inds=order, valid=ok)
+
+
+class FastNMSResult(NamedTuple):
+    dets: jnp.ndarray     # (max_num, 5)
+    labels: jnp.ndarray   # (max_num,)
+    coeffs: jnp.ndarray   # (max_num, P)
+    valid: jnp.ndarray    # (max_num,)
+
+
+def fast_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+             coeffs: jnp.ndarray, score_thr: float, iou_thr: float,
+             top_k: int, max_num: int,
+             valid: Optional[jnp.ndarray] = None) -> FastNMSResult:
+    """YOLACT Fast NMS (reference: core/post_processing/bbox_nms.py:96;
+    arXiv:1904.02689) — per-class top-k sort, a single triu IoU-max
+    matrix, parallel keep decisions. Already pure matrix ops, so the
+    TPU port is direct; fixed ``max_num`` output slots + validity.
+
+    boxes (N, 4), scores (N, C+1) (last col background, ignored),
+    coeffs (N, P)."""
+    n, c1 = scores.shape
+    c = c1 - 1
+    sc = scores[:, :-1].T                               # (C, N)
+    if valid is not None:
+        sc = jnp.where(valid[None, :], sc, -1.0)
+    k = min(top_k, n)
+    sc_k, idx = jax.lax.top_k(sc, k)                    # (C, k)
+    bx = jnp.take(boxes, idx.reshape(-1), axis=0).reshape(c, k, 4)
+    cf = jnp.take(coeffs, idx.reshape(-1), axis=0).reshape(
+        c, k, coeffs.shape[-1])
+    # per-class (k, k) IoU:
+    def cls_iou(b):
+        x1 = jnp.maximum(b[:, None, 0], b[None, :, 0])
+        y1 = jnp.maximum(b[:, None, 1], b[None, :, 1])
+        x2 = jnp.minimum(b[:, None, 2], b[None, :, 2])
+        y2 = jnp.minimum(b[:, None, 3], b[None, :, 3])
+        inter = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+        a = jnp.maximum(b[:, 2] - b[:, 0], 0) * \
+            jnp.maximum(b[:, 3] - b[:, 1], 0)
+        return inter / jnp.maximum(a[:, None] + a[None, :] - inter,
+                                   1e-6)
+    iou = jax.vmap(cls_iou)(bx)                         # (C, k, k)
+    iou = jnp.triu(iou, k=1)
+    iou_max = iou.max(axis=1)                           # (C, k)
+    keep = (iou_max <= iou_thr) & (sc_k > score_thr)
+
+    flat_scores = jnp.where(keep, sc_k, -1.0).reshape(-1)
+    m = min(max_num, flat_scores.shape[0])
+    top_s, top_i = jax.lax.top_k(flat_scores, m)
+    out_boxes = bx.reshape(-1, 4)[top_i]
+    out_coeffs = cf.reshape(-1, cf.shape[-1])[top_i]
+    out_labels = (top_i // k).astype(jnp.int32)
+    ok = top_s > -0.5
+    dets = jnp.concatenate([out_boxes, top_s[:, None]], -1)
+    return FastNMSResult(dets=dets, labels=out_labels,
+                         coeffs=out_coeffs, valid=ok)

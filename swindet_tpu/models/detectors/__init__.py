@@ -5,10 +5,11 @@ from .single_stage import (ATSS, FCOS, FOVEA, FSAF, GFL, PAA,
                            SingleStageDetector)
 from .detr import DETR
 from .rpn import RPN
+from .yolact import YOLACT
 from .sparse_rcnn import SparseRCNN
 
 __all__ = ['CascadeRCNN', 'FasterRCNN', 'HybridTaskCascade', 'MaskRCNN', 'MaskScoringRCNN', 'TwoStageDetector',
            'ATSS', 'FCOS', 'FSAF', 'GFL', 'RepPointsDetector', 'RetinaNet',
            'SingleStageDetector', 'VFNet', 'YOLOV3', 'DETR', 'SparseRCNN',
            'RPN', 'CornerNet', 'CentripetalNet', 'FOVEA',
-           'KnowledgeDistillationSingleStageDetector', 'PAA']
+           'KnowledgeDistillationSingleStageDetector', 'PAA', 'YOLACT']

@@ -153,3 +153,85 @@ def test_centripetalnet_forward():
                       method='simple_test')
     assert out['dets'].shape == (2, 16, 5)
     assert np.all(np.isfinite(np.asarray(out['dets'])))
+
+
+def tiny_yolact_cfg():
+    return dict(
+        type='YOLACT',
+        backbone=dict(type='ResNet', depth=18, base_channels=16,
+                      out_indices=(1, 2, 3)),
+        neck=dict(type='FPN', in_channels=[32, 64, 128], out_channels=16,
+                  start_level=0, add_extra_convs='on_input', num_outs=5,
+                  upsample_cfg=dict(mode='bilinear')),
+        bbox_head=dict(
+            type='YOLACTHead', num_classes=4, in_channels=16,
+            feat_channels=16, num_head_convs=1, num_protos=8,
+            use_ohem=True,
+            anchor_generator=dict(type='AnchorGenerator',
+                                  octave_base_scale=3,
+                                  scales_per_octave=1,
+                                  ratios=[0.5, 1.0, 2.0],
+                                  strides=[8, 16, 32, 64, 128]),
+            bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                            target_means=[0., 0., 0., 0.],
+                            target_stds=[0.1, 0.1, 0.2, 0.2]),
+            loss_cls=dict(type='CrossEntropyLoss', use_sigmoid=False,
+                          reduction='none', loss_weight=1.0),
+            loss_bbox=dict(type='SmoothL1Loss', beta=1.0,
+                           loss_weight=1.5)),
+        segm_head=dict(type='YOLACTSegmHead', num_classes=4,
+                       in_channels=16),
+        mask_head=dict(type='YOLACTProtonet', num_classes=4,
+                       in_channels=16, num_protos=8,
+                       proto_channels=(16, 16, 8),
+                       proto_kernel_sizes=(3, 3, 1),
+                       max_masks_to_train=16),
+        train_cfg=dict(
+            assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.5,
+                          neg_iou_thr=0.4, min_pos_iou=0.,
+                          ignore_iof_thr=-1, gt_max_assign_all=False),
+            smoothl1_beta=1.0, allowed_border=-1, pos_weight=-1,
+            neg_pos_ratio=3),
+        test_cfg=dict(nms_pre=64, min_bbox_size=0, score_thr=0.05,
+                      nms=dict(type='fast_nms', iou_threshold=0.5,
+                               top_k=32),
+                      top_k=32, max_per_img=16))
+
+
+def test_yolact_forward():
+    model = build_detector(tiny_yolact_cfg())
+    batch = demo_inputs(b=2, h=64, w=64, with_mask=True)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'], method='forward_dummy')
+    losses = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], batch['gt_masks'], method='forward_train',
+        rngs={'sampling': jax.random.PRNGKey(2)})
+    for k in ('loss_cls', 'loss_bbox', 'loss_segm', 'loss_mask'):
+        assert np.isfinite(float(losses[k])), f'{k} not finite'
+    out = model.apply(variables, batch['img'], batch['img_shapes'],
+                      jnp.ones((2, 4), jnp.float32),
+                      method='simple_test')
+    assert out['dets'].shape == (2, 16, 5)
+    assert out['mask_probs'].shape == (2, 16, 28, 28)
+    assert np.all(np.isfinite(np.asarray(out['mask_probs'])))
+
+
+def test_fast_nms_keeps_distinct():
+    from swindet_tpu.core.nms import fast_nms
+    boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11],
+                         [40, 40, 60, 60]], jnp.float32)
+    scores = jnp.asarray([[0.9, 0.0], [0.8, 0.0], [0.7, 0.0]],
+                         jnp.float32)
+    scores = jnp.concatenate([scores,
+                              jnp.zeros((3, 1), jnp.float32)], -1)
+    coeffs = jnp.ones((3, 4), jnp.float32)
+    res = fast_nms(boxes, scores, coeffs, 0.05, 0.5, 3, 4)
+    kept = np.asarray(res.valid)
+    dets = np.asarray(res.dets)
+    # box 1 overlaps box 0 above thr -> suppressed; 0 and 2 kept
+    assert kept.sum() == 2
+    assert dets[0, 4] == pytest.approx(0.9)
