@@ -11,8 +11,11 @@ from .double_roi_head import DoubleConvFCBBoxHead, DoubleHeadRoIHead
 from .dynamic_roi_head import DynamicRoIHead
 from .pisa_roi_head import PISARoIHead
 from .sparse_roi_head import DIIHead, SparseRoIHead
+from .point_rend import (CoarseMaskHead, MaskPointHead,
+                         PointRendRoIHead)
 
 __all__ = ['SingleRoIExtractor', 'BBoxHead', 'ConvFCBBoxHead',
            'Shared2FCBBoxHead', 'Shared4Conv1FCBBoxHead', 'FCNMaskHead',
            'CascadeRoIHead', 'StandardRoIHead', 'FusedSemanticHead',
-           'HTCMaskHead', 'HybridTaskCascadeRoIHead', 'MaskIoUHead', 'MaskScoringRoIHead', 'DoubleConvFCBBoxHead', 'DoubleHeadRoIHead', 'DynamicRoIHead', 'PISARoIHead', 'DIIHead', 'SparseRoIHead']
+           'HTCMaskHead', 'HybridTaskCascadeRoIHead', 'MaskIoUHead', 'MaskScoringRoIHead', 'DoubleConvFCBBoxHead', 'DoubleHeadRoIHead', 'DynamicRoIHead', 'PISARoIHead', 'DIIHead', 'SparseRoIHead', 'CoarseMaskHead', 'MaskPointHead',
+           'PointRendRoIHead']

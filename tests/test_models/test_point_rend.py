@@ -1,0 +1,76 @@
+"""PointRend: coarse head shapes, point-head MLP, train loss, test
+subdivision refinement."""
+import copy
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from swindet_tpu.models import build_detector
+
+from tests.test_models.test_forward import demo_inputs, tiny_maskrcnn_cfg
+
+
+def tiny_pointrend_cfg():
+    cfg = copy.deepcopy(tiny_maskrcnn_cfg(with_mask=True))
+    cfg['roi_head'].update(
+        type='PointRendRoIHead',
+        mask_roi_extractor=dict(
+            type='SingleRoIExtractor',
+            roi_layer=dict(type='RoIAlign', output_size=14,
+                           sampling_ratio=0),
+            out_channels=32, featmap_strides=[4]),
+        mask_head=dict(
+            type='CoarseMaskHead', num_fcs=2, in_channels=32,
+            conv_out_channels=32, fc_out_channels=64, num_classes=4,
+            loss_mask=dict(type='CrossEntropyLoss', use_mask=True,
+                           loss_weight=1.0)),
+        point_head=dict(
+            type='MaskPointHead', num_fcs=3, in_channels=32,
+            fc_channels=32, num_classes=4,
+            coarse_pred_each_layer=True,
+            loss_point=dict(type='CrossEntropyLoss', use_mask=True,
+                            loss_weight=1.0)))
+    cfg['train_cfg']['rcnn'].update(mask_size=7, num_points=16,
+                                    oversample_ratio=3,
+                                    importance_sample_ratio=0.75)
+    cfg['test_cfg']['rcnn'].update(subdivision_steps=2,
+                                   subdivision_num_points=64,
+                                   scale_factor=2)
+    return cfg
+
+
+def test_pointrend_forward():
+    model = build_detector(tiny_pointrend_cfg())
+    batch = demo_inputs(b=2, h=64, w=64, with_mask=True)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'], method='forward_dummy')
+    losses = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], batch['gt_masks'], method='forward_train',
+        rngs={'sampling': jax.random.PRNGKey(2)})
+    for k in ('loss_cls', 'loss_bbox', 'loss_mask', 'loss_point'):
+        assert np.isfinite(float(losses[k])), f'{k} not finite'
+    out = model.apply(variables, batch['img'], batch['img_shapes'],
+                      jnp.ones((2, 4), jnp.float32),
+                      method='simple_test')
+    assert out['dets'].shape == (2, 16, 5)
+    # coarse 7x7 refined 2 subdivision steps -> 28x28
+    assert out['mask_probs'].shape == (2, 16, 28, 28)
+    assert np.all(np.isfinite(np.asarray(out['mask_probs'])))
+
+
+def test_point_head_uncertainty_selects_boundary():
+    """Uncertainty peaks where |logit| is smallest for the roi's class."""
+    from swindet_tpu.models.builder import build_head
+    head = build_head(dict(type='MaskPointHead', num_classes=3,
+                           in_channels=8, fc_channels=8))
+    logits = jnp.asarray(
+        np.stack([np.full((4, 3), 5.0)]), jnp.float32)      # (1, 4, 3)
+    logits = logits.at[0, 2, 1].set(0.05)
+    unc = head.uncertainty(logits, jnp.asarray([1]))
+    assert int(jnp.argmax(unc[0])) == 2
