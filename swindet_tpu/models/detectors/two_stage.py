@@ -186,3 +186,8 @@ class HybridTaskCascade(CascadeRCNN):
 @DETECTORS.register_module()
 class MaskScoringRCNN(TwoStageDetector):
     """(reference: detectors/mask_scoring_rcnn.py)."""
+
+
+@DETECTORS.register_module()
+class GridRCNN(TwoStageDetector):
+    """(reference: detectors/grid_rcnn.py:6)."""

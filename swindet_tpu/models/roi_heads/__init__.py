@@ -13,9 +13,10 @@ from .pisa_roi_head import PISARoIHead
 from .sparse_roi_head import DIIHead, SparseRoIHead
 from .point_rend import (CoarseMaskHead, MaskPointHead,
                          PointRendRoIHead)
+from .grid_rcnn import GridHead, GridRoIHead
 
 __all__ = ['SingleRoIExtractor', 'BBoxHead', 'ConvFCBBoxHead',
            'Shared2FCBBoxHead', 'Shared4Conv1FCBBoxHead', 'FCNMaskHead',
            'CascadeRoIHead', 'StandardRoIHead', 'FusedSemanticHead',
            'HTCMaskHead', 'HybridTaskCascadeRoIHead', 'MaskIoUHead', 'MaskScoringRoIHead', 'DoubleConvFCBBoxHead', 'DoubleHeadRoIHead', 'DynamicRoIHead', 'PISARoIHead', 'DIIHead', 'SparseRoIHead', 'CoarseMaskHead', 'MaskPointHead',
-           'PointRendRoIHead']
+           'PointRendRoIHead', 'GridHead', 'GridRoIHead']

@@ -340,14 +340,18 @@ class StandardRoIHead(nn.Module):
         cls_score, bbox_pred = self._bbox_forward(feats, rois)
 
         cls_score = cls_score.reshape(b, p, -1)
-        bbox_pred = bbox_pred.reshape(b, p, -1)
+        # with_reg=False bbox heads (Grid R-CNN) emit no deltas
+        bbox_pred = (bbox_pred.reshape(b, p, -1)
+                     if bbox_pred is not None else None)
         rois = rois.reshape(b, p, 5)
 
         nms_res = jax.vmap(
             lambda r, c, bp, sh, sf, v: self._bbox_head.get_bboxes(
-                r, c, bp, sh, sf, rescale, cfg, roi_valid=v))(
-                rois, cls_score, bbox_pred, img_shapes, scale_factors,
-                proposal_valid)
+                r, c, bp if bbox_pred is not None else None, sh, sf,
+                rescale, cfg, roi_valid=v))(
+                rois, cls_score,
+                bbox_pred if bbox_pred is not None else rois,
+                img_shapes, scale_factors, proposal_valid)
         out = dict(dets=nms_res.dets, labels=nms_res.labels,
                    det_valid=nms_res.valid)
 
