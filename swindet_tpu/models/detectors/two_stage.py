@@ -191,3 +191,8 @@ class MaskScoringRCNN(TwoStageDetector):
 @DETECTORS.register_module()
 class GridRCNN(TwoStageDetector):
     """(reference: detectors/grid_rcnn.py:6)."""
+
+
+@DETECTORS.register_module()
+class SCNet(CascadeRCNN):
+    """(reference: detectors/scnet.py:6)."""

@@ -14,9 +14,13 @@ from .sparse_roi_head import DIIHead, SparseRoIHead
 from .point_rend import (CoarseMaskHead, MaskPointHead,
                          PointRendRoIHead)
 from .grid_rcnn import GridHead, GridRoIHead
+from .scnet import (FeatureRelayHead, GlobalContextHead, SCNetBBoxHead,
+                    SCNetMaskHead, SCNetRoIHead, SCNetSemanticHead)
 
 __all__ = ['SingleRoIExtractor', 'BBoxHead', 'ConvFCBBoxHead',
            'Shared2FCBBoxHead', 'Shared4Conv1FCBBoxHead', 'FCNMaskHead',
            'CascadeRoIHead', 'StandardRoIHead', 'FusedSemanticHead',
            'HTCMaskHead', 'HybridTaskCascadeRoIHead', 'MaskIoUHead', 'MaskScoringRoIHead', 'DoubleConvFCBBoxHead', 'DoubleHeadRoIHead', 'DynamicRoIHead', 'PISARoIHead', 'DIIHead', 'SparseRoIHead', 'CoarseMaskHead', 'MaskPointHead',
-           'PointRendRoIHead', 'GridHead', 'GridRoIHead']
+           'PointRendRoIHead', 'GridHead', 'GridRoIHead', 'SCNetRoIHead', 'SCNetBBoxHead',
+           'SCNetMaskHead', 'SCNetSemanticHead', 'GlobalContextHead',
+           'FeatureRelayHead']

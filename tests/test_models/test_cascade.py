@@ -193,3 +193,67 @@ def test_htc_forward():
     assert out['dets'].shape[0] == 2
     assert 'mask_probs' in out
     assert np.all(np.isfinite(np.asarray(out['dets'])))
+
+
+def tiny_scnet_cfg():
+    """SCNet graph scaled tiny (reference: configs/scnet/
+    scnet_r50_fpn_1x_coco.py)."""
+    base = tiny_cascade_cfg()
+    rh = base['roi_head']
+    rh['type'] = 'SCNetRoIHead'
+    out_ch = rh['bbox_roi_extractor']['out_channels']
+    for h in rh['bbox_head']:
+        h['type'] = 'SCNetBBoxHead'
+    rh['mask_head'] = dict(
+        type='SCNetMaskHead', num_convs=2, in_channels=out_ch,
+        conv_out_channels=out_ch, num_classes=4, conv_to_res=True,
+        loss_mask=dict(type='CrossEntropyLoss', use_mask=True,
+                       loss_weight=1.0))
+    rh['semantic_roi_extractor'] = dict(
+        type='SingleRoIExtractor',
+        roi_layer=dict(type='RoIAlign', output_size=14,
+                       sampling_ratio=0),
+        out_channels=out_ch, featmap_strides=[8])
+    rh['semantic_head'] = dict(
+        type='SCNetSemanticHead', num_ins=5, fusion_level=1,
+        num_convs=2, in_channels=out_ch, conv_out_channels=out_ch,
+        num_classes=8, ignore_label=255, loss_weight=0.2)
+    rh['glbctx_head'] = dict(
+        type='GlobalContextHead', num_convs=2, in_channels=out_ch,
+        conv_out_channels=out_ch, num_classes=4, loss_weight=3.0)
+    rh['feat_relay_head'] = dict(
+        type='FeatureRelayHead',
+        in_channels=rh['bbox_head'][0]['fc_out_channels'],
+        out_conv_channels=out_ch, roi_feat_size=7, scale_factor=2)
+    base['type'] = 'SCNet'
+    return base
+
+
+def test_scnet_forward():
+    import numpy as np
+    model = build_detector(tiny_scnet_cfg())
+    batch = demo_inputs(b=2, h=64, w=64)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'][:1], method='forward_dummy')
+    seg = np.zeros((2, 8, 8), np.uint8)
+    seg[:, 2:5, 2:5] = 3
+    losses = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], batch['gt_masks'], jnp.asarray(seg),
+        method='forward_train', rngs={'sampling': jax.random.PRNGKey(2)})
+    assert 'loss_semantic_seg' in losses
+    assert 'loss_glbctx' in losses
+    assert 'loss_mask' in losses
+    for s in range(3):
+        assert f's{s}.loss_cls' in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f'{k} not finite'
+    out = model.apply(variables, batch['img'], batch['img_shapes'],
+                      jnp.ones((2, 4), jnp.float32),
+                      method='simple_test')
+    assert out['dets'].shape[0] == 2
+    assert 'mask_probs' in out
+    assert np.all(np.isfinite(np.asarray(out['dets'])))
