@@ -1,0 +1,15 @@
+# (reference: configs/cityscapes/mask_rcnn_r50_fpn_1x_cityscapes.py)
+_base_ = [
+    '../_base_/models/mask_rcnn_r50_fpn.py',
+    '../_base_/schedules/schedule_1x.py',
+    '../_base_/default_runtime.py',
+    '../_base_/datasets/cityscapes_instance.py',
+]
+model = dict(
+    roi_head=dict(
+        bbox_head=dict(num_classes=8),
+        mask_head=dict(num_classes=8)))
+optimizer = dict(type='SGD', lr=0.01, momentum=0.9, weight_decay=0.0001)
+lr_config = dict(policy='step', warmup='linear', warmup_iters=500,
+                 warmup_ratio=0.001, step=[7])
+runner = dict(type='EpochBasedRunner', max_epochs=8)

@@ -1,0 +1,4 @@
+# (reference: configs/ms_rcnn/ms_rcnn_r101_caffe_fpn_1x_coco.py,
+# pytorch-backbone variant)
+_base_ = './ms_rcnn_r50_fpn_1x_coco.py'
+model = dict(backbone=dict(depth=101))

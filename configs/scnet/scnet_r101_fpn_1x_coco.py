@@ -1,0 +1,3 @@
+# (reference: configs/scnet/scnet_r101_fpn_1x_coco.py)
+_base_ = './scnet_r50_fpn_1x_coco.py'
+model = dict(backbone=dict(depth=101))
