@@ -1,0 +1,22 @@
+#!/usr/bin/env bash
+# SLURM eval launcher (reference: tools/slurm_test.sh).
+set -x
+
+PARTITION=$1
+JOB_NAME=$2
+CONFIG=$3
+CHECKPOINT=$4
+NODES=${NODES:-1}
+CPUS_PER_TASK=${CPUS_PER_TASK:-32}
+SRUN_ARGS=${SRUN_ARGS:-""}
+PY_ARGS=${@:5}
+
+srun -p ${PARTITION} \
+    --job-name=${JOB_NAME} \
+    --nodes=${NODES} \
+    --ntasks=${NODES} \
+    --ntasks-per-node=1 \
+    --cpus-per-task=${CPUS_PER_TASK} \
+    --kill-on-bad-exit=1 \
+    ${SRUN_ARGS} \
+    python -u tools/test.py ${CONFIG} ${CHECKPOINT} ${PY_ARGS}
