@@ -26,3 +26,18 @@ jax.config.update('jax_default_matmul_precision', 'highest')
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        'markers', 'slow: full-scale tests excluded from quick runs '
+        '(run with -m slow)')
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption('-m'):
+        return
+    skip = pytest.mark.skip(reason='slow: run with -m slow')
+    for item in items:
+        if 'slow' in item.keywords:
+            item.add_marker(skip)

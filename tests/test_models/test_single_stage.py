@@ -669,3 +669,30 @@ def test_paa_gmm_separates_modes():
     r = np.asarray(resp0)
     assert r[:3].all() and not r[3:6].any()
     assert np.isfinite(np.asarray(loglik)[:6]).all()
+
+
+def test_carafe_reassembly_matches_manual():
+    """CARAFE with a one-hot center kernel equals nearest upsample."""
+    from swindet_tpu.ops.carafe import carafe
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(1, 4, 6, 3).astype(np.float32))
+    k = jnp.zeros((1, 8, 12, 25)).at[..., 12].set(1.0)  # center tap
+    out = carafe(x, k, 5, 2)
+    ref = np.repeat(np.repeat(np.asarray(x), 2, 1), 2, 2)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+
+def test_fpn_carafe_shapes():
+    from swindet_tpu.models.builder import build_neck
+    neck = build_neck(dict(
+        type='FPN_CARAFE', in_channels=[16, 32, 64, 128],
+        out_channels=16, num_outs=5,
+        upsample_cfg=dict(type='carafe', up_kernel=5, up_group=1,
+                          encoder_kernel=3, encoder_dilation=1)))
+    ins = [jnp.zeros((1, 32 // (2 ** i), 48 // (2 ** i), c))
+           for i, c in enumerate([16, 32, 64, 128])]
+    v = neck.init(jax.random.PRNGKey(0), ins)
+    outs = neck.apply(v, ins)
+    assert len(outs) == 5
+    assert outs[0].shape == (1, 32, 48, 16)
+    assert outs[4].shape == (1, 2, 3, 16)
