@@ -54,7 +54,10 @@ def _fullsize_cfg(with_mask):
                             with_mask=with_mask)
     cfg['train_cfg']['rpn_proposal'].update(nms_pre=1000,
                                             max_per_img=1000)
-    cfg['test_cfg']['rpn'].update(nms_pre=1000, max_per_img=1000)
+    # min_bbox_size=1 drops fully-degenerate border-clipped proposals
+    # (an artifact of the synthetic delta amplification) on BOTH sides
+    cfg['test_cfg']['rpn'].update(nms_pre=1000, max_per_img=1000,
+                                  min_bbox_size=1)
     cfg['test_cfg']['rcnn'].update(max_per_img=100)
     return cfg
 

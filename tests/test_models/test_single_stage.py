@@ -696,3 +696,23 @@ def test_fpn_carafe_shapes():
     assert len(outs) == 5
     assert outs[0].shape == (1, 32, 48, 16)
     assert outs[4].shape == (1, 2, 3, 16)
+
+
+def test_pisa_retina_forward():
+    cfg = tiny_retinanet_cfg()
+    cfg['bbox_head']['type'] = 'PISARetinaHead'
+    cfg['train_cfg']['isr'] = dict(k=2., bias=0.)
+    cfg['train_cfg']['carl'] = dict(k=1., bias=0.2)
+    model = build_detector(cfg)
+    batch = demo_inputs(b=2, h=64, w=64, with_mask=False)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'], method='forward_dummy')
+    losses = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], method='forward_train',
+        rngs={'sampling': jax.random.PRNGKey(2)})
+    for k in ('loss_cls', 'loss_bbox', 'loss_carl'):
+        assert np.isfinite(float(losses[k])), f'{k} not finite'
