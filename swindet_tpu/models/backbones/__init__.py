@@ -6,5 +6,7 @@ from .res2net import Res2Net
 from .regnet import RegNet
 from .hrnet import HRNet
 from .hourglass import HourglassNet
+from .resnest import ResNeSt
+from .detectors_resnet import DetectoRS_ResNet
 
-__all__ = ['SwinTransformer', 'ResNet', 'ResNeXt', 'SSDVGG', 'Darknet', 'Res2Net', 'RegNet', 'HRNet', 'HourglassNet']
+__all__ = ['SwinTransformer', 'ResNet', 'ResNeXt', 'SSDVGG', 'Darknet', 'Res2Net', 'RegNet', 'HRNet', 'HourglassNet', 'ResNeSt', 'DetectoRS_ResNet']

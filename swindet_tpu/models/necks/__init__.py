@@ -2,10 +2,11 @@ from .fpn import FPN
 from .pafpn import PAFPN
 from .yolo_neck import YOLOV3Neck
 from .fpn_carafe import FPN_CARAFE
+from .rfp import RFP
 from .hrfpn import HRFPN
 from .bfp import BFP
 from .channel_mapper import ChannelMapper
 from .nas_fpn import NASFPN
 
 __all__ = ['FPN', 'PAFPN', 'YOLOV3Neck', 'HRFPN', 'BFP', 'ChannelMapper', 'NASFPN']
-__all__ += ['FPN_CARAFE']
+__all__ += ['FPN_CARAFE', 'RFP']

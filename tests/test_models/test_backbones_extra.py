@@ -70,3 +70,53 @@ def test_regnet_width_generation_parity():
     sw, gw = adjust_width_group(sw, [1.0] * 4, [48] * 4)
     assert sw == [96, 192, 432, 1008]
     assert sum(sb) == 25
+
+
+def test_resnest_shapes():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from swindet_tpu.models import build_backbone
+    bb = build_backbone(dict(type='ResNeSt', depth=50, base_channels=16,
+                             stem_channels=16, radix=2))
+    x = jnp.asarray(np.random.RandomState(0)
+                    .rand(1, 64, 64, 3).astype(np.float32))
+    v = bb.init(jax.random.PRNGKey(0), x)
+    outs = bb.apply(v, x)
+    assert len(outs) == 4
+    assert outs[0].shape == (1, 16, 16, 64)
+    assert outs[3].shape == (1, 2, 2, 512)
+    for o in outs:
+        assert np.all(np.isfinite(np.asarray(o)))
+
+
+def test_detectors_rfp_forward():
+    """DetectoRS: SAC backbone + recursive FPN end-to-end shapes."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from swindet_tpu.models import build_backbone, build_neck
+    bb_cfg = dict(type='DetectoRS_ResNet', depth=50, base_channels=8,
+                  sac=dict(type='SAC'),
+                  stage_with_sac=(False, True, True, True),
+                  rfp_inplanes=16, output_img=True)
+    bb = build_backbone(dict(bb_cfg))
+    x = jnp.asarray(np.random.RandomState(0)
+                    .rand(1, 64, 64, 3).astype(np.float32))
+    v = bb.init(jax.random.PRNGKey(0), x)
+    outs = bb.apply(v, x)
+    assert len(outs) == 5  # img + 4 stages
+    assert outs[0].shape == (1, 64, 64, 3)
+    assert outs[1].shape == (1, 16, 16, 32)
+
+    neck = build_neck(dict(
+        type='RFP', rfp_steps=2,
+        rfp_backbone=dict(bb_cfg, output_img=False),
+        aspp_out_channels=16,
+        in_channels=[32, 64, 128, 256], out_channels=16, num_outs=5))
+    nv = neck.init(jax.random.PRNGKey(1), outs)
+    fpn_outs = neck.apply(nv, outs)
+    assert len(fpn_outs) == 5
+    assert fpn_outs[0].shape == (1, 16, 16, 16)
+    for o in fpn_outs:
+        assert np.all(np.isfinite(np.asarray(o)))
