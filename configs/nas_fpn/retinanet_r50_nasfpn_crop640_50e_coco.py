@@ -1,9 +1,45 @@
-# RetinaNet + NAS-FPN (reference: configs/nas_fpn/retinanet_r50_nasfpn_crop640_50e_coco.py)
+# NAS-FPN RetinaNet (reference: configs/nas_fpn/
+# retinanet_r50_nasfpn_crop640_50e_coco.py)
 _base_ = '../retinanet/retinanet_r50_fpn_1x_coco.py'
 model = dict(
+    backbone=dict(norm_eval=False),
     neck=dict(
         _delete_=True,
-        type='NASFPN', in_channels=[512, 1024, 2048], out_channels=256,
-        num_outs=5, stack_times=7, start_level=1),
-    backbone=dict(out_indices=(0, 1, 2, 3)))
+        type='NASFPN',
+        in_channels=[512, 1024, 2048],
+        out_channels=256,
+        num_outs=5,
+        stack_times=7,
+        start_level=1,
+        add_extra_convs=True),
+    bbox_head=dict(
+        _delete_=True,
+        type='RetinaSepBNHead',
+        num_classes=80,
+        num_ins=5,
+        in_channels=256,
+        stacked_convs=4,
+        feat_channels=256,
+        norm_cfg=dict(type='BN'),
+        anchor_generator=dict(
+            type='AnchorGenerator',
+            octave_base_scale=4,
+            scales_per_octave=3,
+            ratios=[0.5, 1.0, 2.0],
+            strides=[8, 16, 32, 64, 128]),
+        bbox_coder=dict(
+            type='DeltaXYWHBBoxCoder',
+            target_means=[.0, .0, .0, .0],
+            target_stds=[1.0, 1.0, 1.0, 1.0]),
+        loss_cls=dict(
+            type='FocalLoss',
+            use_sigmoid=True,
+            gamma=2.0,
+            alpha=0.25,
+            loss_weight=1.0),
+        loss_bbox=dict(type='L1Loss', loss_weight=1.0)),
+    train_cfg=dict(assigner=dict(neg_iou_thr=0.5)))
 optimizer = dict(type='SGD', lr=0.08, momentum=0.9, weight_decay=0.0001)
+lr_config = dict(policy='step', warmup='linear', warmup_iters=1000,
+                 warmup_ratio=0.1, step=[30, 40])
+runner = dict(type='EpochBasedRunner', max_epochs=50)

@@ -311,3 +311,34 @@ class YOLOAnchorGenerator(AnchorGenerator):
                 True, mode='drop')
             flags.append(jnp.repeat(grid, self.num_base_anchors[lvl]))
         return flags
+
+
+@ANCHOR_GENERATORS.register_module()
+class LegacyAnchorGenerator(AnchorGenerator):
+    """MMDet v1.x anchor grid (reference: core/anchor/
+    anchor_generator.py:474): center offset 0.5, w/h minus 1 in
+    center/corner math, rounded corners."""
+
+    def __init__(self, *args, center_offset: float = 0.5, **kwargs):
+        super().__init__(*args, center_offset=center_offset, **kwargs)
+
+    def gen_single_level_base_anchors(self, base_size, scales, ratios,
+                                      center=None) -> np.ndarray:
+        w = h = float(base_size)
+        if center is None:
+            x_c = self.center_offset * (w - 1)
+            y_c = self.center_offset * (h - 1)
+        else:
+            x_c, y_c = center
+        h_ratios = np.sqrt(ratios)
+        w_ratios = 1.0 / h_ratios
+        if self.scale_major:
+            ws = (w * w_ratios[:, None] * scales[None, :]).reshape(-1)
+            hs = (h * h_ratios[:, None] * scales[None, :]).reshape(-1)
+        else:
+            ws = (w * scales[:, None] * w_ratios[None, :]).reshape(-1)
+            hs = (h * scales[:, None] * h_ratios[None, :]).reshape(-1)
+        base = np.stack([x_c - 0.5 * (ws - 1), y_c - 0.5 * (hs - 1),
+                         x_c + 0.5 * (ws - 1), y_c + 0.5 * (hs - 1)],
+                        axis=-1)
+        return np.round(base).astype(np.float32)

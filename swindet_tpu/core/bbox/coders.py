@@ -349,3 +349,59 @@ class BucketingBBoxCoder:
         conf = top2[..., 0] + top2[..., 1] * (
             jnp.abs(lab2[..., 0] - lab2[..., 1]) == 1)
         return out, conf.mean(-1)
+
+
+@BBOX_CODERS.register_module()
+class LegacyDeltaXYWHBBoxCoder:
+    """MMDet v1.x delta coder (reference: core/bbox/coder/
+    legacy_delta_xywh_bbox_coder.py:10) — the +1 width/height
+    convention; decode keeps the v2 half-pixel improvement the
+    reference adopted (:202-208)."""
+
+    def __init__(self, target_means=(0., 0., 0., 0.),
+                 target_stds=(1., 1., 1., 1.)):
+        self.means = jnp.asarray(target_means, jnp.float32)
+        self.stds = jnp.asarray(target_stds, jnp.float32)
+
+    def encode(self, bboxes, gt_bboxes):
+        px = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        py = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        pw = bboxes[..., 2] - bboxes[..., 0] + 1.0
+        ph = bboxes[..., 3] - bboxes[..., 1] + 1.0
+        gx = (gt_bboxes[..., 0] + gt_bboxes[..., 2]) * 0.5
+        gy = (gt_bboxes[..., 1] + gt_bboxes[..., 3]) * 0.5
+        gw = gt_bboxes[..., 2] - gt_bboxes[..., 0] + 1.0
+        gh = gt_bboxes[..., 3] - gt_bboxes[..., 1] + 1.0
+        d = jnp.stack([(gx - px) / pw, (gy - py) / ph,
+                       jnp.log(gw / pw), jnp.log(gh / ph)], -1)
+        return (d - self.means) / self.stds
+
+    def decode(self, bboxes, pred_bboxes, max_shape=None,
+               wh_ratio_clip=16 / 1000):
+        k = pred_bboxes.shape[-1] // 4
+        d = (pred_bboxes.reshape(pred_bboxes.shape[:-1] + (k, 4))
+             * self.stds + self.means)
+        max_ratio = float(np.abs(np.log(wh_ratio_clip)))
+        dx, dy = d[..., 0], d[..., 1]
+        dw = jnp.clip(d[..., 2], -max_ratio, max_ratio)
+        dh = jnp.clip(d[..., 3], -max_ratio, max_ratio)
+        px = ((bboxes[..., 0] + bboxes[..., 2]) * 0.5)[..., None]
+        py = ((bboxes[..., 1] + bboxes[..., 3]) * 0.5)[..., None]
+        pw = (bboxes[..., 2] - bboxes[..., 0] + 1.0)[..., None]
+        ph = (bboxes[..., 3] - bboxes[..., 1] + 1.0)[..., None]
+        gw = pw * jnp.exp(dw)
+        gh = ph * jnp.exp(dh)
+        gx = px + pw * dx
+        gy = py + ph * dy
+        x1 = gx - gw * 0.5
+        y1 = gy - gh * 0.5
+        x2 = gx + gw * 0.5
+        y2 = gy + gh * 0.5
+        if max_shape is not None:
+            hh, ww = max_shape[0], max_shape[1]
+            x1 = jnp.clip(x1, 0, ww - 1)
+            y1 = jnp.clip(y1, 0, hh - 1)
+            x2 = jnp.clip(x2, 0, ww - 1)
+            y2 = jnp.clip(y2, 0, hh - 1)
+        out = jnp.stack([x1, y1, x2, y2], -1)
+        return out.reshape(pred_bboxes.shape)

@@ -681,3 +681,121 @@ class RandomCenterCropPad:
                         results['gt_labels'] = \
                             results['gt_labels'][m][keep]
                 return results
+
+
+@PIPELINES.register_module()
+class LoadProposals:
+    """Load externally-computed proposals (reference: pipelines/
+    loading.py:388) — Fast R-CNN style training."""
+
+    def __init__(self, num_max_proposals=None):
+        self.num_max_proposals = num_max_proposals
+
+    def __call__(self, results):
+        proposals = np.asarray(results['proposals'], np.float32)
+        if proposals.shape[1] not in (4, 5):
+            raise AssertionError(
+                'proposals should have shapes (n, 4) or (n, 5), '
+                f'but found {proposals.shape}')
+        proposals = proposals[:, :4]
+        if self.num_max_proposals is not None:
+            proposals = proposals[:self.num_max_proposals]
+        if len(proposals) == 0:
+            proposals = np.array([[0, 0, 0, 0]], np.float32)
+        results['proposals'] = proposals
+        results.setdefault('bbox_fields', []).append('proposals')
+        return results
+
+
+@PIPELINES.register_module()
+class LoadMultiChannelImageFromFiles:
+    """Stack several single-channel files into one multi-channel image
+    (reference: pipelines/loading.py:310)."""
+
+    def __init__(self, to_float32=False, color_type='unchanged'):
+        self.to_float32 = to_float32
+        self.color_type = color_type
+
+    def __call__(self, results):
+        import cv2
+        import os.path as osp
+        prefix = results.get('img_prefix')
+        files = results['img_info']['filename']
+        imgs = []
+        for name in files:
+            path = osp.join(prefix, name) if prefix else name
+            flag = (cv2.IMREAD_UNCHANGED
+                    if self.color_type == 'unchanged'
+                    else cv2.IMREAD_COLOR)
+            imgs.append(cv2.imread(path, flag))
+        img = np.stack(imgs, axis=-1)
+        if self.to_float32:
+            img = img.astype(np.float32)
+        results['filename'] = files
+        results['img'] = img
+        results['img_shape'] = img.shape
+        results['ori_shape'] = img.shape
+        results.setdefault('img_fields', ['img'])
+        return results
+
+
+@PIPELINES.register_module()
+class Albu:
+    """albumentations bridge (reference: pipelines/transforms.py Albu).
+    The package is optional; construction only stores the config and
+    the first __call__ raises a clear error when albumentations is
+    absent (keeps Albu-using configs loadable everywhere)."""
+
+    def __init__(self, transforms, bbox_params=None, keymap=None,
+                 update_pad_shape=False, skip_img_without_anno=False):
+        self.transforms = transforms
+        self.bbox_params = bbox_params
+        self.keymap_to_albu = keymap or dict(img='image',
+                                             gt_masks='masks',
+                                             gt_bboxes='bboxes')
+        self.keymap_back = {v: k for k, v in self.keymap_to_albu.items()}
+        self.update_pad_shape = update_pad_shape
+        self.skip_img_without_anno = skip_img_without_anno
+        self._aug = None
+
+    def _build(self):
+        try:
+            import albumentations as A
+        except ImportError as e:
+            raise ImportError(
+                'Albu transform requires the optional `albumentations` '
+                'package (not bundled in this environment)') from e
+
+        def build_t(cfg):
+            cfg = dict(cfg)
+            t = getattr(A, cfg.pop('type'))
+            if 'transforms' in cfg:
+                cfg['transforms'] = [build_t(c)
+                                     for c in cfg['transforms']]
+            return t(**cfg)
+
+        bbox_params = None
+        if self.bbox_params is not None:
+            bp = dict(self.bbox_params)
+            bp.pop('type', None)
+            import albumentations as A
+            bbox_params = A.BboxParams(**bp)
+        self._aug = __import__('albumentations').Compose(
+            [build_t(t) for t in self.transforms],
+            bbox_params=bbox_params)
+
+    def __call__(self, results):
+        if self._aug is None:
+            self._build()
+        mapped = {self.keymap_to_albu.get(k, k): v
+                  for k, v in results.items()
+                  if k in self.keymap_to_albu or k == 'img'}
+        out = self._aug(**{k: v for k, v in mapped.items()
+                           if k in ('image', 'masks', 'bboxes')})
+        for k, v in out.items():
+            results[self.keymap_back.get(k, k)] = (
+                np.asarray(v, np.float32) if k == 'bboxes' else v)
+        results['img_shape'] = results['img'].shape
+        if self.update_pad_shape:
+            results['pad_shape'] = results['img'].shape
+        return results
