@@ -22,9 +22,10 @@ from .paa_head import PAAHead
 from .yolact_head import YOLACTHead, YOLACTProtonet, YOLACTSegmHead
 from .pisa_heads import PISARetinaHead, PISASSDHead
 from .retina_sepbn_head import RetinaSepBNHead
+from .cascade_rpn_head import CascadeRPNHead, StageCascadeRPNHead
 
 __all__ = ['AnchorHead', 'RPNHead', 'RetinaHead', 'RepPointsHead',
            'FCOSHead', 'ATSSHead', 'GFLHead', 'SSDHead', 'YOLOV3Head', 'FreeAnchorRetinaHead', 'VFNetHead', 'FSAFHead',
            'TransformerHead', 'EmbeddingRPNHead', 'GuidedAnchorHead',
            'GARPNHead', 'GARetinaHead', 'FeatureAdaption', 'CornerHead', 'CentripetalHead', 'FoveaHead', 'LDHead', 'SABLRetinaHead', 'PAAHead', 'YOLACTHead', 'YOLACTSegmHead',
-           'YOLACTProtonet', 'PISARetinaHead', 'PISASSDHead', 'RetinaSepBNHead']
+           'YOLACTProtonet', 'PISARetinaHead', 'PISASSDHead', 'RetinaSepBNHead', 'CascadeRPNHead', 'StageCascadeRPNHead']

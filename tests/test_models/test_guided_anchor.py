@@ -258,3 +258,74 @@ def test_region_assigner_semantics():
     assert (inds1 == -1).any()
     lab = np.asarray(res.labels[:64]).reshape(8, 8)
     assert lab[3, 3] == 2
+
+
+def tiny_crpn_cfg():
+    stage1 = dict(
+        type='StageCascadeRPNHead', in_channels=16, feat_channels=16,
+        anchor_generator=dict(type='AnchorGenerator', scales=[8],
+                              ratios=[1.0],
+                              strides=[8, 16, 32, 64, 128]),
+        adapt_cfg=dict(type='dilation', dilation=3),
+        bridged_feature=True, sampling=False, with_cls=False,
+        reg_decoded_bbox=True,
+        bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                        target_means=(0., 0., 0., 0.),
+                        target_stds=(0.1, 0.1, 0.5, 0.5)),
+        loss_bbox=dict(type='IoULoss', linear=True, loss_weight=10.0))
+    stage2 = dict(
+        type='StageCascadeRPNHead', in_channels=16, feat_channels=16,
+        anchor_generator=dict(type='AnchorGenerator', scales=[8],
+                              ratios=[1.0],
+                              strides=[8, 16, 32, 64, 128]),
+        adapt_cfg=dict(type='offset'), bridged_feature=False,
+        sampling=True, with_cls=True, reg_decoded_bbox=True,
+        bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                        target_means=(0., 0., 0., 0.),
+                        target_stds=(0.05, 0.05, 0.1, 0.1)),
+        loss_cls=dict(type='CrossEntropyLoss', use_sigmoid=True,
+                      loss_weight=1.0),
+        loss_bbox=dict(type='IoULoss', linear=True, loss_weight=10.0))
+    return dict(
+        type='RPN',
+        backbone=dict(type='ResNet', depth=18, base_channels=16,
+                      out_indices=(1, 2, 3)),
+        neck=dict(type='FPN', in_channels=[32, 64, 128], out_channels=16,
+                  start_level=0, add_extra_convs='on_input', num_outs=5),
+        rpn_head=dict(type='CascadeRPNHead', num_stages=2,
+                      stages=[stage1, stage2]),
+        train_cfg=dict(rpn=[
+            dict(assigner=dict(type='RegionAssigner', center_ratio=0.2,
+                               ignore_ratio=0.5),
+                 allowed_border=-1, pos_weight=-1),
+            dict(assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.7,
+                               neg_iou_thr=0.7, min_pos_iou=0.3,
+                               ignore_iof_thr=-1),
+                 sampler=dict(type='RandomSampler', num=64,
+                              pos_fraction=0.5, neg_pos_ub=-1,
+                              add_gt_as_proposals=False),
+                 allowed_border=-1, pos_weight=-1)]),
+        test_cfg=dict(rpn=dict(nms_pre=64, max_per_img=32,
+                               nms=dict(type='nms', iou_threshold=0.8),
+                               min_bbox_size=0)))
+
+
+def test_cascade_rpn_forward():
+    model = build_detector(tiny_crpn_cfg())
+    batch = demo_inputs(b=2, h=64, w=64, with_mask=False)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'], method='forward_dummy')
+    losses = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], method='forward_train',
+        rngs={'sampling': jax.random.PRNGKey(2)})
+    for k in ('s0.loss_rpn_reg', 's1.loss_rpn_cls', 's1.loss_rpn_reg'):
+        assert np.isfinite(float(losses[k])), f'{k} not finite'
+    out = model.apply(variables, batch['img'], batch['img_shapes'],
+                      jnp.ones((2, 4), jnp.float32),
+                      method='simple_test')
+    assert out['dets'].shape == (2, 32, 5)
+    assert np.all(np.isfinite(np.asarray(out['dets'])))
