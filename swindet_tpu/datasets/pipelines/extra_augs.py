@@ -799,3 +799,47 @@ class Albu:
         if self.update_pad_shape:
             results['pad_shape'] = results['img'].shape
         return results
+
+
+@PIPELINES.register_module()
+class InstaBoost:
+    """Instance-level copy-paste augmentation (reference:
+    mmdet/datasets/pipelines/instaboost.py; arXiv:1908.07801).
+
+    Thin adapter over the optional ``instaboostfast`` package (not
+    baked into this image) — building the pipeline is always allowed so
+    configs/instaboost/* load; calling it without the package raises a
+    clear ImportError, and with ``aug_ratio`` the augmentation is
+    applied stochastically exactly as the reference does."""
+
+    def __init__(self, action_candidate=('normal', 'horizontal', 'skip'),
+                 action_prob=(1, 0, 0), scale=(0.8, 1.2), dx=15, dy=15,
+                 theta=(-1, 1), color_prob=0.5, hflag=False,
+                 aug_ratio=0.5):
+        self.aug_ratio = aug_ratio
+        self._cfg_args = dict(action_candidate=action_candidate,
+                              action_prob=action_prob, scale=scale,
+                              dx=dx, dy=dy, theta=theta,
+                              color_prob=color_prob, hflag=hflag)
+        self._cfg = None
+
+    def __call__(self, results):
+        if np.random.rand() > self.aug_ratio:
+            return results
+        try:
+            import instaboostfast as instaboost
+        except ImportError as e:
+            raise ImportError(
+                'InstaBoost requires the "instaboostfast" package, '
+                'which is not installed in this environment') from e
+        if self._cfg is None:
+            self._cfg = instaboost.InstaBoostConfig(**self._cfg_args)
+        anns = results.get('ann_info', {}).get('raw_anns')
+        if anns is None:
+            return results
+        anns, img = instaboost.get_new_data(
+            anns, results['img'].astype(np.uint8), self._cfg,
+            background=None)
+        results['img'] = img.astype(np.float32)
+        results['ann_info']['raw_anns'] = anns
+        return results

@@ -1,4 +1,4 @@
-from .two_stage import (CascadeRCNN, FasterRCNN, GridRCNN, SCNet, HybridTaskCascade, MaskRCNN, MaskScoringRCNN,
+from .two_stage import (CascadeRCNN, FastRCNN, FasterRCNN, GridRCNN, SCNet, HybridTaskCascade, MaskRCNN, MaskScoringRCNN,
                         TwoStageDetector)
 from .single_stage import (ATSS, FCOS, FOVEA, FSAF, GFL, PAA,
                            KnowledgeDistillationSingleStageDetector, CentripetalNet, CornerNet, RepPointsDetector, RetinaNet, VFNet, YOLOV3,
@@ -8,7 +8,7 @@ from .rpn import RPN
 from .yolact import YOLACT
 from .sparse_rcnn import SparseRCNN
 
-__all__ = ['CascadeRCNN', 'FasterRCNN', 'HybridTaskCascade', 'MaskRCNN', 'MaskScoringRCNN', 'TwoStageDetector',
+__all__ = ['CascadeRCNN', 'FastRCNN', 'FasterRCNN', 'HybridTaskCascade', 'MaskRCNN', 'MaskScoringRCNN', 'TwoStageDetector',
            'ATSS', 'FCOS', 'FSAF', 'GFL', 'RepPointsDetector', 'RetinaNet',
            'SingleStageDetector', 'VFNet', 'YOLOV3', 'DETR', 'SparseRCNN',
            'RPN', 'CornerNet', 'CentripetalNet', 'FOVEA', 'GridRCNN', 'SCNet',

@@ -196,3 +196,31 @@ class GridRCNN(TwoStageDetector):
 @DETECTORS.register_module()
 class SCNet(CascadeRCNN):
     """(reference: detectors/scnet.py:6)."""
+
+
+@DETECTORS.register_module()
+class FastRCNN(TwoStageDetector):
+    """Fast R-CNN — two-stage detector driven by PRE-COMPUTED proposals
+    (reference: detectors/fast_rcnn.py:6; pipeline `LoadProposals`).
+    No RPN: ``proposals`` (B, P, 4) + ``prop_valid`` (B, P) come from
+    the data pipeline (e.g. an offline RPN run or selective search)."""
+
+    def forward_dummy(self, img: jnp.ndarray, num_rois: int = 100):
+        feats = self.extract_feat(img)
+        return self._roi_head.forward_dummy(feats, num_rois)
+
+    def forward_train(self, img, img_shapes, pad_shapes, gt_bboxes,
+                      gt_valid, gt_labels, proposals, prop_valid,
+                      gt_masks=None):
+        feats = self.extract_feat(img, train=True)
+        rcnn_rng = self.make_rng('sampling')
+        return dict(self._roi_head.forward_train(
+            rcnn_rng, feats, proposals, prop_valid, gt_bboxes, gt_valid,
+            gt_labels, gt_masks, img_shapes))
+
+    def simple_test(self, img, img_shapes, scale_factors, proposals,
+                    prop_valid, rescale: bool = True):
+        feats = self.extract_feat(img)
+        return self._roi_head.simple_test(
+            feats, proposals, prop_valid, img_shapes, scale_factors,
+            rescale=rescale)

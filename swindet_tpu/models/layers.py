@@ -177,6 +177,49 @@ class _Conv3x3Pallas(nn.Module):
                        bias, self.relu)
 
 
+class WSConv(nn.Module):
+    """Weight-standardized conv (mmcv ConvWS2d, arXiv:1903.10520):
+    kernel normalized per output filter over (kh, kw, cin) before the
+    conv. Param layout matches nn.Conv ({'kernel','bias'}). Reference
+    usage: configs/gn+ws (conv_cfg=dict(type='ConvWS'))."""
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: int = 1
+    padding: Any = 'SAME'
+    kernel_dilation: int = 1
+    feature_group_count: int = 1
+    use_bias: bool = False
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+    kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1] // self.feature_group_count
+        w = self.param('kernel',
+                       self.kernel_init or nn.initializers.lecun_normal(),
+                       (kh, kw, cin, self.features))
+        w = w.astype(jnp.float32)
+        mean = w.mean(axis=(0, 1, 2), keepdims=True)
+        std = w.std(axis=(0, 1, 2), keepdims=True) + self.eps
+        w = (w - mean) / std
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=(self.strides, self.strides),
+            padding=self.padding if isinstance(self.padding, str)
+            else list(self.padding),
+            rhs_dilation=(self.kernel_dilation,) * 2,
+            feature_group_count=self.feature_group_count,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        if self.use_bias:
+            out = out + self.param('bias',
+                                   self.bias_init or nn.initializers.zeros,
+                                   (self.features,))
+        return out
+
+
 class ConvModule(nn.Module):
     """conv (+ optional norm) (+ optional act), NHWC
     (reference: mmcv.cnn ConvModule — used by FPN, convfc heads, mask heads).
@@ -187,6 +230,7 @@ class ConvModule(nn.Module):
     padding: Union[int, str] = 0
     dilation: int = 1
     groups: int = 1
+    conv_cfg: Optional[dict] = None
     norm_cfg: Optional[dict] = None
     act_cfg: Optional[dict] = None
     bias: Union[bool, str] = 'auto'
@@ -222,15 +266,24 @@ class ConvModule(nn.Module):
                                   dtype=self.dtype,
                                   kernel_init=self.kernel_init,
                                   bias_init=self.bias_init, name='conv')(x)
-        x = nn.Conv(self.out_channels, ks, strides=self.stride,
-                    padding=padding,
-                    kernel_dilation=self.dilation,
-                    feature_group_count=self.groups,
-                    use_bias=use_bias, dtype=self.dtype,
-                    kernel_init=(self.kernel_init
-                                 or nn.initializers.lecun_normal()),
-                    bias_init=(self.bias_init or nn.initializers.zeros),
-                    name='conv')(x)
+        if self.conv_cfg is not None and \
+                self.conv_cfg.get('type') in ('ConvWS', 'ConvAWS'):
+            x = WSConv(self.out_channels, ks, strides=self.stride,
+                       padding=padding, kernel_dilation=self.dilation,
+                       feature_group_count=self.groups,
+                       use_bias=use_bias, dtype=self.dtype,
+                       kernel_init=self.kernel_init,
+                       bias_init=self.bias_init, name='conv')(x)
+        else:
+            x = nn.Conv(self.out_channels, ks, strides=self.stride,
+                        padding=padding,
+                        kernel_dilation=self.dilation,
+                        feature_group_count=self.groups,
+                        use_bias=use_bias, dtype=self.dtype,
+                        kernel_init=(self.kernel_init
+                                     or nn.initializers.lecun_normal()),
+                        bias_init=(self.bias_init or nn.initializers.zeros),
+                        name='conv')(x)
         if self.norm_cfg is not None:
             x = build_norm(self.norm_cfg, name='norm')(x, train=train)
             x = x.astype(self.dtype)

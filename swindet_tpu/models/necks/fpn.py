@@ -50,6 +50,7 @@ class FPN(nn.Module):
         for i in range(self.start_level, end_level + 1):
             lat = ConvModule(
                 self.out_channels, kernel_size=1,
+                conv_cfg=self.conv_cfg,
                 norm_cfg=None if self.no_norm_on_lateral else self.norm_cfg,
                 act_cfg=self.act_cfg, dtype=self.dtype,
                 name=f'lateral_convs{i - self.start_level}')(
@@ -67,7 +68,8 @@ class FPN(nn.Module):
         for i in range(used_backbone_levels):
             outs.append(ConvModule(
                 self.out_channels, kernel_size=3, padding=1,
-                norm_cfg=self.norm_cfg, act_cfg=self.act_cfg,
+                conv_cfg=self.conv_cfg, norm_cfg=self.norm_cfg,
+                act_cfg=self.act_cfg,
                 dtype=self.dtype, name=f'fpn_convs{i}')(
                     laterals[i], train=train))
 
@@ -90,7 +92,8 @@ class FPN(nn.Module):
                         extra_src = nn.relu(extra_src)
                     extra_src = ConvModule(
                         self.out_channels, kernel_size=3, stride=2,
-                        padding=1, norm_cfg=self.norm_cfg,
+                        padding=1, conv_cfg=self.conv_cfg,
+                        norm_cfg=self.norm_cfg,
                         act_cfg=self.act_cfg, dtype=self.dtype,
                         name=f'fpn_convs{i}')(extra_src, train=train)
                     outs.append(extra_src)

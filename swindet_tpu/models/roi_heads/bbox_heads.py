@@ -58,6 +58,7 @@ class ConvFCBBoxHead(nn.Module):
             self.loss_bbox or dict(type='L1Loss', loss_weight=1.0)))
         self.shared_convs = [
             ConvModule(self.conv_out_channels, 3, padding=1,
+                       conv_cfg=self.conv_cfg,
                        norm_cfg=self.norm_cfg,
                        act_cfg=dict(type='ReLU'), dtype=self.dtype,
                        name=f'shared_convs{i}')

@@ -52,6 +52,19 @@ class FCNMaskHead(nn.Module):
             self.upsample = nn.ConvTranspose(
                 self.conv_out_channels, (2, 2), strides=(2, 2),
                 dtype=self.dtype, name='upsample')
+        elif self.upsample_type == 'carafe':
+            # reference: configs/carafe mask head
+            # (upsample_cfg=dict(type='carafe', ...))
+            from ...ops.carafe import CARAFEPack
+            self.upsample = CARAFEPack(
+                channels=self.conv_out_channels,
+                scale_factor=up.get('scale_factor', 2),
+                up_kernel=up.get('up_kernel', 5),
+                up_group=up.get('up_group', 1),
+                encoder_kernel=up.get('encoder_kernel', 3),
+                encoder_dilation=up.get('encoder_dilation', 1),
+                compressed_channels=up.get('compressed_channels', 64),
+                dtype=self.dtype, name='upsample')
         out = 1 if self.class_agnostic else self.num_classes
         self.conv_logits = nn.Conv(out, (1, 1), dtype=self.dtype,
                                    name='conv_logits')
@@ -62,6 +75,15 @@ class FCNMaskHead(nn.Module):
             x = conv(x, train=train)
         if self.upsample_type == 'deconv':
             x = nn.relu(self.upsample(x))
+        elif self.upsample_type == 'carafe':
+            x = nn.relu(self.upsample(x))
+        elif self.upsample_type in ('bilinear', 'nearest'):
+            b, h, w, c = x.shape
+            sf = (self.upsample_cfg or {}).get('scale_factor', 2)
+            x = jax.image.resize(
+                x, (b, h * sf, w * sf, c),
+                'bilinear' if self.upsample_type == 'bilinear'
+                else 'nearest')
         return self.conv_logits(x)
 
     # ------------------------------------------------------------- targets

@@ -11,9 +11,10 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax.numpy as jnp
+import flax.linen as _nn
 
 from ..builder import ROI_EXTRACTORS
-from ...ops.roi_align import multilevel_roi_align
+from ...ops.roi_align import multilevel_roi_align, roi_align_single
 
 
 @ROI_EXTRACTORS.register_module()
@@ -70,3 +71,69 @@ class SingleRoIExtractor:
             list(feats)[:self.num_inputs], rois, self.featmap_strides,
             self.out_size, self.sampling_ratio, self.finest_scale,
             roi_valid=roi_valid)
+
+
+@ROI_EXTRACTORS.register_module()
+class GenericRoIExtractor(_nn.Module):
+    """GRoIE — aggregate RoI features from ALL pyramid levels
+    (reference: mmdet/models/roi_heads/roi_extractors/
+    generic_roi_extractor.py:9; arXiv:2004.13665).
+
+    Unlike SingleRoIExtractor there is no level routing: every RoI is
+    aligned on every level, optionally passed through a learnable
+    ``pre`` module per level, summed (or concatenated), then through a
+    learnable ``post`` module. Implemented as a flax module because the
+    pre/post processors carry parameters."""
+    roi_layer: dict
+    out_channels: int
+    featmap_strides: Sequence[int]
+    aggregation: str = 'sum'
+    pre_cfg: Optional[dict] = None
+    post_cfg: Optional[dict] = None
+
+    @property
+    def num_inputs(self):
+        return len(self.featmap_strides)
+
+    def _processor(self, cfg, name):
+        cfg = dict(cfg)
+        t = cfg.pop('type')
+        if t == 'ConvModule':
+            from ..layers import ConvModule
+            cfg.pop('in_channels', None)
+            cfg.pop('inplace', None)
+            return ConvModule(out_channels=cfg.pop('out_channels'),
+                              name=name, **cfg)
+        from ...ops.plugins import build_plugin
+        cfg.pop('in_channels', None)
+        return build_plugin(dict(cfg, type=t),
+                            in_channels=self.out_channels, name=name)
+
+    @_nn.compact
+    def __call__(self, feats, rois, roi_valid=None,
+                 roi_scale_factor=None, train: bool = False):
+        if roi_scale_factor is not None:
+            rois = SingleRoIExtractor.roi_rescale(rois, roi_scale_factor)
+        out_size = self.roi_layer['output_size']
+        sampling_ratio = self.roi_layer.get('sampling_ratio', 0)
+        acc = None
+        parts = []
+        # one pre module SHARED across levels (reference :40)
+        pre = (self._processor(self.pre_cfg, 'pre_module')
+               if self.pre_cfg is not None else None)
+        for i, stride in enumerate(self.featmap_strides):
+            rf = roi_align_single(feats[i], rois, 1.0 / stride,
+                                  out_size, sampling_ratio)
+            if pre is not None:
+                rf = pre(rf)
+            if self.aggregation == 'sum':
+                acc = rf if acc is None else acc + rf
+            else:
+                parts.append(rf)
+        out = acc if self.aggregation == 'sum' \
+            else jnp.concatenate(parts, axis=-1)
+        if self.post_cfg is not None:
+            out = self._processor(self.post_cfg, 'post_module')(out)
+        if roi_valid is not None:
+            out = out * roi_valid.reshape(-1, 1, 1, 1).astype(out.dtype)
+        return out

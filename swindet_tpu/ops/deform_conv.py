@@ -38,10 +38,12 @@ def deform_sample(x: jnp.ndarray, sample_y: jnp.ndarray,
     ly, lx = y - y0, xx - x0
     hy, hx = 1.0 - ly, 1.0 - lx
 
+    ho, wo = sample_y.shape[1:3]
+
     def take(yy, xs):
         idx = (yy * w + xs).astype(jnp.int32).reshape(b, -1)
         return jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(
-            flat, idx).reshape(b, h, w, k, c)
+            flat, idx).reshape(b, ho, wo, k, c)
 
     out = (take(y0, x0) * (hy * hx)[..., None] +
            take(y0, x1) * (hy * lx)[..., None] +
@@ -51,19 +53,24 @@ def deform_sample(x: jnp.ndarray, sample_y: jnp.ndarray,
 
 
 class DeformConv2d(nn.Module):
-    """torch-compatible deformable conv (kernel kh×kw, stride 1, pad
-    (kh//2, kw//2)); ``offset`` is (B, H, W, G*2*K) with (dy, dx) pairs
-    in torch channel order, one offset set per deform group (input
-    channels split into ``deform_groups`` consecutive slices)."""
+    """torch-compatible deformable conv (kernel kh×kw, stride s, pad
+    (kh//2, kw//2)); ``offset`` is (B, Ho, Wo, G*2*K) with (dy, dx)
+    pairs in torch channel order, one offset set per deform group
+    (input channels split into ``deform_groups`` consecutive slices).
+    With ``mask`` (B, Ho, Wo, G*K) the op is DCNv2 (modulated): each
+    bilinear sample is scaled by sigmoid(mask) — reference usage:
+    ResNet dcn=dict(type='DCNv2') stages (configs/dcn/*mdconv*)."""
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
+    stride: int = 1
     use_bias: bool = False
     deform_groups: int = 1
     dtype: Any = jnp.float32
     kernel_init: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, offset: jnp.ndarray,
+                 mask: jnp.ndarray = None) -> jnp.ndarray:
         b, h, w, c = x.shape
         kh, kw = self.kernel_size
         k = kh * kw
@@ -71,10 +78,11 @@ class DeformConv2d(nn.Module):
         base = np.stack(np.meshgrid(
             np.arange(kh) - kh // 2, np.arange(kw) - kw // 2,
             indexing='ij'), -1).reshape(k, 2)          # (K, 2) (dy, dx)
-        grid_y = np.arange(h)[:, None]
-        grid_x = np.arange(w)[None, :]
+        grid_y = np.arange(0, h, self.stride)[:, None]
+        grid_x = np.arange(0, w, self.stride)[None, :]
+        ho, wo = len(grid_y), grid_x.shape[1]
 
-        off = offset.astype(jnp.float32).reshape(b, h, w, dg, k, 2)
+        off = offset.astype(jnp.float32).reshape(b, ho, wo, dg, k, 2)
         sy = grid_y[None, :, :, None, None] + base[None, None, None,
                                                    None, :, 0] \
             + off[..., 0]                              # (B,H,W,G,K)
@@ -87,7 +95,13 @@ class DeformConv2d(nn.Module):
         for gi in range(dg):                           # dg is 1 or 4
             samples.append(deform_sample(
                 xg[:, :, :, gi], sy[:, :, :, gi], sx[:, :, :, gi]))
-        samples = jnp.concatenate(samples, axis=-1)    # (B,H,W,K,C)
+        samples = jnp.concatenate(samples, axis=-1)    # (B,Ho,Wo,K,C)
+        if mask is not None:
+            m = jax.nn.sigmoid(mask.astype(jnp.float32))
+            m = m.reshape(b, ho, wo, dg, k)
+            m = jnp.repeat(m, c // dg, axis=3).transpose(0, 1, 2, 4, 3) \
+                .reshape(b, ho, wo, k, c)
+            samples = samples * m
         weight = self.param(
             'weight', self.kernel_init or nn.initializers.he_normal(),
             (k, c, self.features))
