@@ -29,3 +29,5 @@ __all__ = ['AnchorHead', 'RPNHead', 'RetinaHead', 'RepPointsHead',
            'TransformerHead', 'EmbeddingRPNHead', 'GuidedAnchorHead',
            'GARPNHead', 'GARetinaHead', 'FeatureAdaption', 'CornerHead', 'CentripetalHead', 'FoveaHead', 'LDHead', 'SABLRetinaHead', 'PAAHead', 'YOLACTHead', 'YOLACTSegmHead',
            'YOLACTProtonet', 'PISARetinaHead', 'PISASSDHead', 'RetinaSepBNHead', 'CascadeRPNHead', 'StageCascadeRPNHead']
+from .nasfcos_head import NASFCOSHead
+__all__ += ['NASFCOSHead']

@@ -55,16 +55,7 @@ class FCOSHead(nn.Module):
             self.loss_centerness or dict(type='CrossEntropyLoss',
                                          use_sigmoid=True,
                                          loss_weight=1.0)))
-        self.cls_convs = [
-            ConvModule(self.feat_channels, 3, padding=1,
-                       norm_cfg=self.norm_cfg, act_cfg=dict(type='ReLU'),
-                       dtype=self.dtype, name=f'cls_convs{i}')
-            for i in range(self.stacked_convs)]
-        self.reg_convs = [
-            ConvModule(self.feat_channels, 3, padding=1,
-                       norm_cfg=self.norm_cfg, act_cfg=dict(type='ReLU'),
-                       dtype=self.dtype, name=f'reg_convs{i}')
-            for i in range(self.stacked_convs)]
+        self.cls_convs, self.reg_convs = self._build_towers()
         self.conv_cls = nn.Conv(self.num_classes, (3, 3),
                                 padding=[(1, 1)] * 2, dtype=self.dtype,
                                 kernel_init=normal_init(0.01),
@@ -80,6 +71,21 @@ class FCOSHead(nn.Module):
                                        name='conv_centerness')
         self.scales = self.param('scales', nn.initializers.ones,
                                  (len(self.strides),))
+
+    def _build_towers(self):
+        """Stacked 3x3 conv towers; overridden by NASFCOSHead with the
+        searched ops (reference: nasfcos_head.py:21 _init_layers)."""
+        cls_convs = [
+            ConvModule(self.feat_channels, 3, padding=1,
+                       norm_cfg=self.norm_cfg, act_cfg=dict(type='ReLU'),
+                       dtype=self.dtype, name=f'cls_convs{i}')
+            for i in range(self.stacked_convs)]
+        reg_convs = [
+            ConvModule(self.feat_channels, 3, padding=1,
+                       norm_cfg=self.norm_cfg, act_cfg=dict(type='ReLU'),
+                       dtype=self.dtype, name=f'reg_convs{i}')
+            for i in range(self.stacked_convs)]
+        return cls_convs, reg_convs
 
     def forward_single(self, x, lvl: int, train: bool = False):
         cls_feat = x

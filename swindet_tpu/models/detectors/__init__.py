@@ -1,6 +1,6 @@
 from .two_stage import (CascadeRCNN, FastRCNN, FasterRCNN, GridRCNN, SCNet, HybridTaskCascade, MaskRCNN, MaskScoringRCNN,
                         TwoStageDetector)
-from .single_stage import (ATSS, FCOS, FOVEA, FSAF, GFL, PAA,
+from .single_stage import (ATSS, FCOS, FOVEA, FSAF, GFL, NASFCOS, PAA,
                            KnowledgeDistillationSingleStageDetector, CentripetalNet, CornerNet, RepPointsDetector, RetinaNet, VFNet, YOLOV3,
                            SingleStageDetector)
 from .detr import DETR
@@ -12,4 +12,4 @@ __all__ = ['CascadeRCNN', 'FastRCNN', 'FasterRCNN', 'HybridTaskCascade', 'MaskRC
            'ATSS', 'FCOS', 'FSAF', 'GFL', 'RepPointsDetector', 'RetinaNet',
            'SingleStageDetector', 'VFNet', 'YOLOV3', 'DETR', 'SparseRCNN',
            'RPN', 'CornerNet', 'CentripetalNet', 'FOVEA', 'GridRCNN', 'SCNet',
-           'KnowledgeDistillationSingleStageDetector', 'PAA', 'YOLACT']
+           'KnowledgeDistillationSingleStageDetector', 'PAA', 'YOLACT', 'NASFCOS']

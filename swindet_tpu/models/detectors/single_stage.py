@@ -195,6 +195,12 @@ class FCOS(SingleStageDetector):
 
 
 @DETECTORS.register_module()
+class NASFCOS(FCOS):
+    """(reference: detectors/nasfcos.py) — FCOS with searched neck and
+    head (NASFCOS_FPN + NASFCOSHead)."""
+
+
+@DETECTORS.register_module()
 class YOLOV3(SingleStageDetector):
     """(reference: detectors/yolo.py) — single pred-map-tuple head."""
 

@@ -10,3 +10,5 @@ from .nas_fpn import NASFPN
 
 __all__ = ['FPN', 'PAFPN', 'YOLOV3Neck', 'HRFPN', 'BFP', 'ChannelMapper', 'NASFPN']
 __all__ += ['FPN_CARAFE', 'RFP']
+from .nasfcos_fpn import NASFCOS_FPN
+__all__ += ['NASFCOS_FPN']

@@ -113,3 +113,39 @@ class DeformConv2d(nn.Module):
             out = out + self.param('bias', nn.initializers.zeros,
                                    (self.features,))
         return out.astype(self.dtype)
+
+
+class ModulatedDeformConvPack(nn.Module):
+    """DCNv2 with its own offset/mask predictor (mmcv
+    ModulatedDeformConv2dPack): a zero-init conv produces
+    (dy, dx, mask) per tap so the op starts as a plain conv. Used by
+    NAS-FCOS towers and cells (reference: configs/nas_fcos/*,
+    conv_cfg=dict(type='DCNv2', deform_groups=2))."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    deform_groups: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size * self.kernel_size
+        dg = self.deform_groups
+        off = nn.Conv(dg * 3 * k, (self.kernel_size,) * 2,
+                      strides=self.stride,
+                      padding=[(self.kernel_size // 2,) * 2] * 2,
+                      dtype=jnp.float32,
+                      kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros,
+                      name='conv_offset')(x)
+        b, ho, wo, _ = off.shape
+        off3 = off.reshape(b, ho, wo, dg, 3, k)
+        offset = off3[..., :2, :].transpose(0, 1, 2, 3, 5, 4) \
+            .reshape(b, ho, wo, dg * 2 * k)
+        mask = off3[..., 2, :].reshape(b, ho, wo, dg * k)
+        return DeformConv2d(self.features,
+                            (self.kernel_size,) * 2,
+                            stride=self.stride, deform_groups=dg,
+                            use_bias=self.use_bias, dtype=self.dtype,
+                            name='conv')(x, offset, mask)

@@ -716,3 +716,48 @@ def test_pisa_retina_forward():
         rngs={'sampling': jax.random.PRNGKey(2)})
     for k in ('loss_cls', 'loss_bbox', 'loss_carl'):
         assert np.isfinite(float(losses[k])), f'{k} not finite'
+
+
+def tiny_nasfcos_cfg():
+    return dict(
+        type='NASFCOS',
+        backbone=dict(type='ResNet', depth=18, base_channels=16,
+                      out_indices=(0, 1, 2, 3)),
+        neck=dict(type='NASFCOS_FPN', in_channels=[16, 32, 64, 128],
+                  out_channels=16, start_level=1, num_outs=5,
+                  norm_cfg=dict(type='BN'),
+                  conv_cfg=dict(type='DCNv2', deform_groups=2)),
+        bbox_head=dict(
+            type='NASFCOSHead', num_classes=4, in_channels=16,
+            feat_channels=16, strides=[8, 16, 32, 64, 128],
+            norm_cfg=dict(type='GN', num_groups=4),
+            loss_cls=dict(type='FocalLoss', use_sigmoid=True,
+                          gamma=2.0, alpha=0.25, loss_weight=1.0),
+            loss_bbox=dict(type='IoULoss', loss_weight=1.0),
+            loss_centerness=dict(type='CrossEntropyLoss',
+                                 use_sigmoid=True, loss_weight=1.0)),
+        train_cfg=dict(allowed_border=-1, pos_weight=-1),
+        test_cfg=dict(nms_pre=100, min_bbox_size=0, score_thr=0.05,
+                      nms=dict(type='nms', iou_threshold=0.6),
+                      max_per_img=16))
+
+
+def test_nasfcos_forward():
+    """Searched NASFCOS_FPN cells + DCNv2 tower head run end-to-end."""
+    model = build_detector(tiny_nasfcos_cfg())
+    batch = demo_inputs(b=2, h=64, w=64, with_mask=False)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'], method='forward_dummy')
+    losses = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], method='forward_train',
+        rngs={'sampling': jax.random.PRNGKey(2)})
+    total = sum(float(v) for v in losses.values())
+    assert np.isfinite(total)
+    out = model.apply(variables, batch['img'], batch['img_shapes'],
+                      jnp.ones((2, 4), jnp.float32),
+                      method='simple_test')
+    assert out['dets'].shape == (2, 16, 5)
