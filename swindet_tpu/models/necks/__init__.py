@@ -12,3 +12,5 @@ __all__ = ['FPN', 'PAFPN', 'YOLOV3Neck', 'HRFPN', 'BFP', 'ChannelMapper', 'NASFP
 __all__ += ['FPN_CARAFE', 'RFP']
 from .nasfcos_fpn import NASFCOS_FPN
 __all__ += ['NASFCOS_FPN']
+from .fpg import FPG
+__all__ += ['FPG']

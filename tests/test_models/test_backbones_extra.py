@@ -165,3 +165,43 @@ def test_resnet_dcn_plugins_gn_ws():
     og = gcb.apply(vg, x)
     # can't share params across trees; just check finiteness + shape
     assert og[-1].shape == ref[-1].shape
+
+
+def test_fpg_neck():
+    """FPG grid neck: 9 bottom-up pathways with skip_inds, summed
+    transitions, BN in act-conv-norm order."""
+    from swindet_tpu.models.builder import build_neck
+    norm_cfg = dict(type='BN', requires_grad=True)
+    neck = build_neck(dict(
+        type='FPG', in_channels=[16, 32, 64, 128], out_channels=16,
+        inter_channels=16, num_outs=5, stack_times=3,
+        paths=['bu'] * 3,
+        same_down_trans=None,
+        same_up_trans=dict(type='conv', kernel_size=3, stride=2,
+                           padding=1, norm_cfg=norm_cfg, inplace=False,
+                           order=('act', 'conv', 'norm')),
+        across_lateral_trans=dict(type='conv', kernel_size=1,
+                                  norm_cfg=norm_cfg, inplace=False,
+                                  order=('act', 'conv', 'norm')),
+        across_down_trans=dict(type='interpolation_conv',
+                               mode='nearest', kernel_size=3,
+                               norm_cfg=norm_cfg,
+                               order=('act', 'conv', 'norm'),
+                               inplace=False),
+        across_up_trans=None,
+        across_skip_trans=dict(type='conv', kernel_size=1,
+                               norm_cfg=norm_cfg, inplace=False,
+                               order=('act', 'conv', 'norm')),
+        output_trans=dict(type='last_conv', kernel_size=3,
+                          order=('act', 'conv', 'norm'), inplace=False),
+        norm_cfg=norm_cfg,
+        skip_inds=[(0, 1), (0,), (), (), ()]))
+    ins = [jnp.ones((2, 32 // s, 32 // s, c))
+           for s, c in zip((1, 2, 4, 8), (16, 32, 64, 128))]
+    v = neck.init(jax.random.PRNGKey(0), ins)
+    outs = neck.apply(v, ins)
+    assert len(outs) == 5
+    assert outs[0].shape == (2, 32, 32, 16)
+    assert outs[4].shape == (2, 2, 2, 16)
+    for o in outs:
+        assert np.all(np.isfinite(np.asarray(o)))
