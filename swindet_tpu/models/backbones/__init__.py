@@ -10,3 +10,4 @@ from .resnest import ResNeSt
 from .detectors_resnet import DetectoRS_ResNet
 
 __all__ = ['SwinTransformer', 'ResNet', 'ResNeXt', 'SSDVGG', 'Darknet', 'Res2Net', 'RegNet', 'HRNet', 'HourglassNet', 'ResNeSt', 'DetectoRS_ResNet']
+from .trident_resnet import TridentResNet

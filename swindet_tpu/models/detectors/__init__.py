@@ -1,4 +1,4 @@
-from .two_stage import (CascadeRCNN, FastRCNN, FasterRCNN, GridRCNN, SCNet, HybridTaskCascade, MaskRCNN, MaskScoringRCNN,
+from .two_stage import (CascadeRCNN, FastRCNN, FasterRCNN, TridentFasterRCNN, GridRCNN, SCNet, HybridTaskCascade, MaskRCNN, MaskScoringRCNN,
                         TwoStageDetector)
 from .single_stage import (ATSS, FCOS, FOVEA, FSAF, GFL, NASFCOS, PAA,
                            KnowledgeDistillationSingleStageDetector, CentripetalNet, CornerNet, RepPointsDetector, RetinaNet, VFNet, YOLOV3,
@@ -12,4 +12,4 @@ __all__ = ['CascadeRCNN', 'FastRCNN', 'FasterRCNN', 'HybridTaskCascade', 'MaskRC
            'ATSS', 'FCOS', 'FSAF', 'GFL', 'RepPointsDetector', 'RetinaNet',
            'SingleStageDetector', 'VFNet', 'YOLOV3', 'DETR', 'SparseRCNN',
            'RPN', 'CornerNet', 'CentripetalNet', 'FOVEA', 'GridRCNN', 'SCNet',
-           'KnowledgeDistillationSingleStageDetector', 'PAA', 'YOLACT', 'NASFCOS']
+           'KnowledgeDistillationSingleStageDetector', 'PAA', 'YOLACT', 'NASFCOS', 'TridentFasterRCNN']

@@ -224,3 +224,44 @@ class FastRCNN(TwoStageDetector):
         return self._roi_head.simple_test(
             feats, proposals, prop_valid, img_shapes, scale_factors,
             rescale=rescale)
+
+
+@DETECTORS.register_module()
+class TridentFasterRCNN(FasterRCNN):
+    """TridentNet (reference: detectors/trident_faster_rcnn.py:6;
+    arXiv:1901.01892). The TridentResNet backbone folds its branches
+    into the batch axis in train mode, so this detector just tiles the
+    per-image targets/shapes ``num_branch`` times (reference
+    forward_train:59 makes the same copies of img_metas/gts); at test
+    time the backbone emits only ``test_branch_idx`` and the plain
+    two-stage path applies."""
+
+    def forward_train(self, img, img_shapes, pad_shapes, gt_bboxes,
+                      gt_valid, gt_labels, gt_masks=None,
+                      gt_semantic_seg=None):
+        nb = dict(self.backbone).get('num_branch', 3)
+
+        def t(a):
+            return None if a is None else jnp.tile(
+                a, (nb,) + (1,) * (a.ndim - 1))
+
+        feats = self.extract_feat(img, train=True)   # (nb*B, ...)
+        img_shapes, pad_shapes = t(img_shapes), t(pad_shapes)
+        gt_bboxes, gt_valid = t(gt_bboxes), t(gt_valid)
+        gt_labels, gt_masks = t(gt_labels), t(gt_masks)
+        losses = {}
+        rpn_rng = self.make_rng('sampling')
+        rcnn_rng = self.make_rng('sampling')
+        rpn_outs = self._rpn_head(feats, train=True)
+        losses.update(self._rpn_head.loss(
+            rpn_rng, *rpn_outs, gt_bboxes, gt_valid, None,
+            img_shapes, pad_shapes))
+        proposal_cfg = dict(self.train_cfg).get(
+            'rpn_proposal', dict(self.test_cfg)['rpn'])
+        proposals, _, prop_valid = self._rpn_head.get_proposals(
+            *rpn_outs, img_shapes, dict(proposal_cfg))
+        proposals = jax.lax.stop_gradient(proposals)
+        losses.update(self._roi_head.forward_train(
+            rcnn_rng, feats, proposals, prop_valid, gt_bboxes, gt_valid,
+            gt_labels, gt_masks, img_shapes))
+        return losses

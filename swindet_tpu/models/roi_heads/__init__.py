@@ -24,3 +24,4 @@ __all__ = ['SingleRoIExtractor', 'BBoxHead', 'ConvFCBBoxHead',
            'PointRendRoIHead', 'GridHead', 'GridRoIHead', 'SCNetRoIHead', 'SCNetBBoxHead',
            'SCNetMaskHead', 'SCNetSemanticHead', 'GlobalContextHead',
            'FeatureRelayHead']
+from .shared_heads import ResLayer

@@ -46,6 +46,10 @@ class StandardRoIHead(nn.Module):
             self._mask_extractor = build_roi_extractor(dict(ext))
             self._mask_head = build_head(
                 dict(self.mask_head, dtype=self.dtype))
+        if self.shared_head is not None:
+            from ..builder import build_shared_head
+            self._shared_head = build_shared_head(
+                dict(self.shared_head, dtype=self.dtype))
         if self.train_cfg:
             self._assigner = build_assigner(dict(self.train_cfg['assigner']))
             self._sampler = build_sampler(dict(self.train_cfg['sampler']))
@@ -57,8 +61,13 @@ class StandardRoIHead(nn.Module):
     def _bbox_forward(self, feats, rois, train: bool = False):
         """RoI features -> (cls_score, bbox_pred). Single override
         point for variants (DoubleHead scales the reg rois)."""
-        return self._bbox_head(self._bbox_extractor(feats, rois),
-                               train=train)
+        x = self._bbox_extractor(feats, rois)
+        if self.shared_head is not None:
+            # C4-style res-layer shared head (reference:
+            # shared_heads/res_layer.py; _base_/models/
+            # faster_rcnn_r50_caffe_c4.py)
+            x = self._shared_head(x, train=train)
+        return self._bbox_head(x, train=train)
 
     def forward_dummy(self, feats, num_rois: int = 100):
         """Touch all parameters (init / FLOPs)."""
@@ -371,3 +380,14 @@ class StandardRoIHead(nn.Module):
             out['mask_probs'] = probs.reshape(
                 b, max_out, probs.shape[1], probs.shape[2])
         return out
+
+
+@HEADS.register_module()
+class TridentRoIHead(StandardRoIHead):
+    """(reference: roi_heads/trident_roi_head.py:11). With the
+    TPU-native single-branch test path (TridentResNet emits only
+    ``test_branch_idx`` at inference) the branch-merging NMS of the
+    reference reduces to the standard test path; train-time branches
+    arrive pre-folded into the batch axis."""
+    num_branch: int = 3
+    test_branch_idx: int = 1
