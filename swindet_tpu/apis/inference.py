@@ -295,3 +295,59 @@ def show_result(img: Union[str, np.ndarray], result, classes,
     if out_file:
         cv2.imwrite(out_file, img)
     return img
+
+
+def imshow_gt_det_bboxes(img: Union[str, np.ndarray], annotation: dict,
+                         result, class_names=None,
+                         score_thr: float = 0.0,
+                         gt_color=(61, 102, 255),
+                         det_color=(241, 101, 72),
+                         thickness: int = 2,
+                         out_file: Optional[str] = None):
+    """GT-vs-detection comparison panel (reference:
+    mmdet/core/visualization/image.py:189 imshow_gt_det_bboxes).
+
+    Draws the ground-truth boxes/masks (orange, BGR gt_color) and the
+    detections above ``score_thr`` (blue, BGR det_color) on one canvas
+    so misses/false-positives are visible at a glance. ``annotation``
+    needs 'gt_bboxes' (G, 4) and 'gt_labels' (G,), optionally
+    'gt_masks' (G, H, W). ``result`` is the per-class list format that
+    inference returns. Returns the BGR ndarray."""
+    import cv2
+    if isinstance(img, str):
+        img = cv2.imread(img)
+    img = img.copy().astype(np.uint8)
+
+    gt_bboxes = np.asarray(annotation['gt_bboxes'])
+    gt_labels = np.asarray(annotation['gt_labels'])
+    gt_masks = annotation.get('gt_masks')
+    for g in range(len(gt_bboxes)):
+        x1, y1, x2, y2 = gt_bboxes[g, :4].astype(int)
+        cv2.rectangle(img, (x1, y1), (x2, y2), gt_color, thickness)
+        name = (class_names[int(gt_labels[g])] if class_names
+                else str(int(gt_labels[g])))
+        cv2.putText(img, f'GT:{name}', (x1, max(y1 - 4, 0)),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, gt_color, 1)
+        if gt_masks is not None:
+            m = np.asarray(gt_masks[g]) > 0.5
+            m = m[:img.shape[0], :img.shape[1]]
+            img[m] = img[m] * 0.5 + np.array(gt_color) * 0.5
+
+    bbox_res, mask_res = (result if isinstance(result, tuple)
+                          else (result, None))
+    for cls_id, dets in enumerate(bbox_res):
+        for j, det in enumerate(np.asarray(dets)):
+            if det[4] < score_thr:
+                continue
+            x1, y1, x2, y2 = det[:4].astype(int)
+            cv2.rectangle(img, (x1, y1), (x2, y2), det_color, thickness)
+            name = class_names[cls_id] if class_names else str(cls_id)
+            cv2.putText(img, f'{name} {det[4]:.2f}',
+                        (x1, min(y2 + 14, img.shape[0] - 2)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, det_color, 1)
+            if mask_res is not None and j < len(mask_res[cls_id]):
+                m = np.asarray(mask_res[cls_id][j]) > 0.5
+                img[m] = img[m] * 0.5 + np.array(det_color) * 0.5
+    if out_file:
+        cv2.imwrite(out_file, img)
+    return img
