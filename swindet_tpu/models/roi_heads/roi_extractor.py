@@ -17,8 +17,24 @@ from ..builder import ROI_EXTRACTORS
 from ...ops.roi_align import multilevel_roi_align, roi_align_single
 
 
+_DEFORM_LAYERS = ('DeformRoIPoolPack', 'ModulatedDeformRoIPoolPack')
+
+
 @ROI_EXTRACTORS.register_module()
 class SingleRoIExtractor:
+    def __new__(cls, roi_layer: dict = None, out_channels: int = 256,
+                featmap_strides: Sequence[int] = (4, 8, 16, 32),
+                finest_scale: int = 56, **kwargs):
+        # configs/dcn/*_{dpool,mdpool}_* select deformable RoI pooling
+        # through the roi_layer type while keeping the extractor type —
+        # those layers carry parameters, so dispatch to the flax module
+        if roi_layer and roi_layer.get('type') in _DEFORM_LAYERS:
+            return DeformRoIExtractor(
+                roi_layer=dict(roi_layer), out_channels=out_channels,
+                featmap_strides=tuple(featmap_strides),
+                finest_scale=finest_scale)
+        return super().__new__(cls)
+
     def __init__(self, roi_layer: dict, out_channels: int,
                  featmap_strides: Sequence[int],
                  finest_scale: int = 56, **kwargs):
@@ -71,6 +87,70 @@ class SingleRoIExtractor:
             list(feats)[:self.num_inputs], rois, self.featmap_strides,
             self.out_size, self.sampling_ratio, self.finest_scale,
             roi_valid=roi_valid)
+
+
+class DeformRoIExtractor(_nn.Module):
+    """SingleRoIExtractor with a DeformRoIPoolPack / Modulated... layer
+    (reference configs: configs/dcn/faster_rcnn_r50_fpn_{dpool,mdpool}_
+    1x_coco.py; op semantics: mmcv deform_roi_pool).
+
+    Two-pass pooling: a standard aligned-RoIAlign pass feeds a 3-layer
+    FC branch (deform_fc_channels wide, zero-init output) predicting a
+    per-bin (dx, dy) offset; the second pass samples at the deformed
+    bins. The modulated variant adds a sigmoid mask branch (zero-init →
+    0.5) multiplying the pooled features. FC flatten order is NHWC
+    (ours) rather than NCHW (torch) — the branch is trained from
+    scratch in both frameworks (zero-init output), so no checkpoint
+    layout conversion issue arises.
+    """
+    roi_layer: dict
+    out_channels: int
+    featmap_strides: Sequence[int]
+    finest_scale: int = 56
+
+    @property
+    def num_inputs(self):
+        return len(self.featmap_strides)
+
+    @_nn.compact
+    def __call__(self, feats, rois, roi_valid=None,
+                 roi_scale_factor=None, train: bool = False):
+        from ...ops.deform_roi_pool import multilevel_deform_roi_pool
+        from ..layers import normal_init
+        if roi_scale_factor is not None:
+            rois = SingleRoIExtractor.roi_rescale(rois, roi_scale_factor)
+        out_size = self.roi_layer['output_size']
+        gamma = self.roi_layer.get('gamma', 0.1)
+        sr = self.roi_layer.get('sampling_ratio', 0)
+        fcc = self.roi_layer.get('deform_fc_channels', 1024)
+        modulated = self.roi_layer['type'] == 'ModulatedDeformRoIPoolPack'
+        feats = list(feats)[:self.num_inputs]
+
+        base = multilevel_roi_align(
+            feats, rois, self.featmap_strides, out_size, sr,
+            self.finest_scale, roi_valid=roi_valid)
+        n_rois = rois.shape[0]
+        flat = base.reshape(n_rois, -1)
+
+        def branch(name, out_dim):
+            h = _nn.relu(_nn.Dense(fcc, kernel_init=normal_init(0.01),
+                                   name=f'{name}_fc1')(flat))
+            h = _nn.relu(_nn.Dense(fcc, kernel_init=normal_init(0.01),
+                                   name=f'{name}_fc2')(h))
+            return _nn.Dense(out_dim, kernel_init=_nn.initializers.zeros,
+                             name=f'{name}_out')(h)
+
+        off = branch('offset', out_size * out_size * 2)
+        # mmcv layout (R, 2, H, W): first H*W block = dx, second = dy
+        off = off.reshape(n_rois, 2, out_size, out_size)
+        off = jnp.moveaxis(off, 1, -1)                     # (R, H, W, 2)
+        out = multilevel_deform_roi_pool(
+            feats, rois, off, self.featmap_strides, out_size, sr,
+            gamma, self.finest_scale, roi_valid=roi_valid)
+        if modulated:
+            m = _nn.sigmoid(branch('mask', out_size * out_size))
+            out = out * m.reshape(n_rois, out_size, out_size, 1)
+        return out
 
 
 @ROI_EXTRACTORS.register_module()
