@@ -340,10 +340,15 @@ class BucketingBBoxCoder:
         y1 = t_b - sel[:, 2] * bh
         y2 = d_b - sel[:, 3] * bh
         if self.clip_border and max_shape is not None:
-            x1 = jnp.clip(x1, 0, max_shape[1] - 1)
-            y1 = jnp.clip(y1, 0, max_shape[0] - 1)
-            x2 = jnp.clip(x2, 0, max_shape[1] - 1)
-            y2 = jnp.clip(y2, 0, max_shape[0] - 1)
+            # max_shape entries may be python ints, traced scalars, or
+            # per-RoI (N, 1) columns (cascade's regress_by_class) —
+            # flatten to (1,)/(N,) so they broadcast against (N,) coords
+            hh = jnp.reshape(jnp.asarray(max_shape[0], jnp.float32), (-1,))
+            ww = jnp.reshape(jnp.asarray(max_shape[1], jnp.float32), (-1,))
+            x1 = jnp.clip(x1, 0, ww - 1)
+            y1 = jnp.clip(y1, 0, hh - 1)
+            x2 = jnp.clip(x2, 0, ww - 1)
+            y2 = jnp.clip(y2, 0, hh - 1)
         out = jnp.stack([x1, y1, x2, y2], -1)
         # bucketing-guided rescoring
         conf = top2[..., 0] + top2[..., 1] * (

@@ -14,6 +14,7 @@ from .sparse_roi_head import DIIHead, SparseRoIHead
 from .point_rend import (CoarseMaskHead, MaskPointHead,
                          PointRendRoIHead)
 from .grid_rcnn import GridHead, GridRoIHead
+from .sabl_head import SABLHead
 from .scnet import (FeatureRelayHead, GlobalContextHead, SCNetBBoxHead,
                     SCNetMaskHead, SCNetRoIHead, SCNetSemanticHead)
 
@@ -23,5 +24,5 @@ __all__ = ['SingleRoIExtractor', 'BBoxHead', 'ConvFCBBoxHead',
            'HTCMaskHead', 'HybridTaskCascadeRoIHead', 'MaskIoUHead', 'MaskScoringRoIHead', 'DoubleConvFCBBoxHead', 'DoubleHeadRoIHead', 'DynamicRoIHead', 'PISARoIHead', 'DIIHead', 'SparseRoIHead', 'CoarseMaskHead', 'MaskPointHead',
            'PointRendRoIHead', 'GridHead', 'GridRoIHead', 'SCNetRoIHead', 'SCNetBBoxHead',
            'SCNetMaskHead', 'SCNetSemanticHead', 'GlobalContextHead',
-           'FeatureRelayHead']
+           'FeatureRelayHead', 'SABLHead']
 from .shared_heads import ResLayer

@@ -167,6 +167,13 @@ class ConvFCBBoxHead(nn.Module):
         return multiclass_nms(boxes, scores, cfg['score_thr'],
                               dict(cfg['nms']), cfg['max_per_img'])
 
+    def decode_for_test(self, rois, bbox_pred, img_shape):
+        """(boxes, score_factors) for the generic RoI-head test paths —
+        delta heads have no score factor (SABL overrides)."""
+        boxes = self._bbox_coder.decode(rois[..., -4:], bbox_pred,
+                                        max_shape=img_shape)
+        return boxes, None
+
     def regress_by_class(self, rois, labels, bbox_pred, img_shape):
         """Refine rois with the predicted class's deltas — cascade glue
         (reference: bbox_head.py:455)."""

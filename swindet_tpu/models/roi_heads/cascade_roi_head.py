@@ -249,19 +249,21 @@ class CascadeRoIHead(nn.Module):
 
         rois_b = rois.reshape(b, p, 5)
         scores_b = avg_scores.reshape(b, p, -1)
-        pred_b = bbox_pred.reshape(b, p, -1)
+        pred_b = jax.tree.map(lambda t: t.reshape(b, p, -1), bbox_pred)
 
         def per_image(r, s, bp, sh, sf, v):
             # the LAST stage's deltas are decoded on the twice-refined
             # rois (reference: cascade_roi_head.py:340 get_bboxes(rois,
-            # cls_score, bbox_pred, ...))
-            boxes = last._bbox_coder.decode(r[:, 1:], bp, max_shape=sh)
+            # cls_score, bbox_pred, ...)); SABL heads also return a
+            # bucketing confidence used as NMS score factor
+            boxes, score_factors = last.decode_for_test(r, bp, sh)
             if rescale:
                 boxes = (boxes.reshape(boxes.shape[0], -1, 4) /
                          sf[None, None, :4]).reshape(boxes.shape)
             s = jnp.where(v[:, None], s, 0.0)
             return multiclass_nms(boxes, s, cfg['score_thr'],
-                                  dict(cfg['nms']), cfg['max_per_img'])
+                                  dict(cfg['nms']), cfg['max_per_img'],
+                                  score_factors=score_factors)
 
         nms_res = jax.vmap(per_image)(rois_b, scores_b, pred_b, img_shapes,
                                       scale_factors, proposal_valid)

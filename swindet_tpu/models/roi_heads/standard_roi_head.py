@@ -349,8 +349,9 @@ class StandardRoIHead(nn.Module):
         cls_score, bbox_pred = self._bbox_forward(feats, rois)
 
         cls_score = cls_score.reshape(b, p, -1)
-        # with_reg=False bbox heads (Grid R-CNN) emit no deltas
-        bbox_pred = (bbox_pred.reshape(b, p, -1)
+        # with_reg=False bbox heads (Grid R-CNN) emit no deltas; SABL
+        # emits a (bucket_cls, bucket_offset) tuple — reshape per leaf
+        bbox_pred = (jax.tree.map(lambda t: t.reshape(b, p, -1), bbox_pred)
                      if bbox_pred is not None else None)
         rois = rois.reshape(b, p, 5)
 
