@@ -13,6 +13,7 @@ pad_shape, scale_factor, img_norm_cfg, gt_bboxes, gt_labels, gt_masks
 """
 from __future__ import annotations
 
+import os
 import os.path as osp
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
@@ -23,6 +24,15 @@ from ...registries import PIPELINES
 
 
 def _imread(path: str) -> np.ndarray:
+    if os.environ.get('SWINDET_NATIVE_IMAGE') == '1':
+        # native libjpeg/libpng decode (image_ops.cpp) — GIL-free;
+        # opt-in because IDCT rounding may differ from cv2 by ±1 LSB
+        from ... import native
+        if native.image_available():
+            try:
+                return native.image_decode(path)
+            except (IOError, OSError):
+                pass  # non-JPEG/PNG container → cv2
     import cv2
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:

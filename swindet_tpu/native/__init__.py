@@ -134,3 +134,110 @@ def paste_masks(mask_probs: np.ndarray, boxes: np.ndarray, img_h: int,
                     _ptr(bx, ctypes.c_float), img_h, img_w,
                     float(threshold), _ptr(out, ctypes.c_uint8))
     return out.view(bool)   # same itemsize — no 100MB-scale copy
+
+
+# --------------------------------------------------------------- image ops
+# Native data-loading pipeline (image_ops.cpp): JPEG/PNG decode,
+# keep-ratio bilinear resize, fused normalize+pad batch loader with a
+# GIL-free std::thread pool — the TPU framework's counterpart of the
+# reference's torch-DataLoader fork workers (mmdet datasets/builder.py).
+_IMG_SRC = osp.join(osp.dirname(__file__), 'image_ops.cpp')
+_IMG_LIB = None
+_IMG_TRIED = False
+
+
+def _build_and_load_image():
+    global _IMG_LIB, _IMG_TRIED
+    if _IMG_TRIED:
+        return _IMG_LIB
+    _IMG_TRIED = True
+    if os.environ.get('SWINDET_NO_NATIVE'):
+        return None
+    try:
+        with open(_IMG_SRC, 'rb') as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:16]
+        cache = osp.join(osp.expanduser('~'), '.cache', 'swindet_tpu',
+                         'native')
+        os.makedirs(cache, exist_ok=True)
+        so = osp.join(cache, f'image_ops_{tag}.so')
+        if not osp.exists(so):
+            tmp = so + f'.tmp{os.getpid()}'
+            subprocess.run(
+                ['g++', '-O3', '-march=native', '-std=c++17', '-shared',
+                 '-fPIC', _IMG_SRC, '-o', tmp, '-ljpeg', '-lpng'],
+                check=True, capture_output=True)
+            os.replace(tmp, so)
+        lib = ctypes.CDLL(so)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i64 = ctypes.c_int64
+        lib.image_decode.argtypes = [ctypes.c_char_p, u8p, i64, i64p,
+                                     i64p]
+        lib.image_decode.restype = ctypes.c_int
+        lib.image_resize_bilinear.argtypes = [u8p, i64, i64, u8p, i64,
+                                              i64]
+        lib.image_load_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), i64, f32p, i64, i64, i64,
+            i64, f32p, f32p, ctypes.c_int, i64p, f32p, ctypes.c_int]
+        lib.image_load_batch.restype = ctypes.c_int
+        _IMG_LIB = lib
+    except Exception:
+        _IMG_LIB = None
+    return _IMG_LIB
+
+
+def image_available() -> bool:
+    return _build_and_load_image() is not None
+
+
+def image_decode(path: str, max_hw: int = 8192) -> np.ndarray:
+    """Decode a JPEG/PNG file to a BGR uint8 (H, W, 3) array (cv2
+    layout). Raises on failure — callers fall back to cv2."""
+    lib = _build_and_load_image()
+    buf = np.empty(max_hw * max_hw * 3 // 4, np.uint8)
+    h = ctypes.c_int64()
+    w = ctypes.c_int64()
+    rc = lib.image_decode(path.encode(), _ptr(buf, ctypes.c_uint8),
+                          buf.size, ctypes.byref(h),
+                          ctypes.byref(w))
+    if rc:
+        raise IOError(f'native decode failed ({rc}): {path}')
+    return buf[:h.value * w.value * 3].reshape(
+        h.value, w.value, 3).copy()
+
+
+def image_resize(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Bilinear u8 resize, half-pixel centers (cv2 INTER_LINEAR
+    geometry, float weights — within ±1 LSB of cv2)."""
+    lib = _build_and_load_image()
+    src = _as(img, np.uint8)
+    h, w = src.shape[:2]
+    out = np.empty((oh, ow, 3), np.uint8)
+    lib.image_resize_bilinear(_ptr(src, ctypes.c_uint8), h, w,
+                              _ptr(out, ctypes.c_uint8), oh, ow)
+    return out
+
+
+def image_load_batch(paths, canvas_hw, scale_long_short, mean, std,
+                     to_rgb: bool = True, threads: int = 4):
+    """Decode+rescale+normalize+pad a batch with the native thread
+    pool. Returns (imgs (N, ch, cw, 3) float32, shapes (N, 2) int64
+    resized hw, scales (N, 2) float32 (w_scale, h_scale)). Failed
+    samples keep a zero canvas and shape (0, 0)."""
+    lib = _build_and_load_image()
+    n = len(paths)
+    ch, cw = canvas_hw
+    le, se = scale_long_short
+    out = np.empty((n, ch, cw, 3), np.float32)
+    shapes = np.empty((n, 2), np.int64)
+    scales = np.empty((n, 2), np.float32)
+    mean = _as(np.asarray(mean, np.float32), np.float32)
+    std = _as(np.asarray(std, np.float32), np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.image_load_batch(arr, n, _ptr(out, ctypes.c_float), ch, cw,
+                         int(le), int(se), _ptr(mean, ctypes.c_float),
+                         _ptr(std, ctypes.c_float), int(to_rgb),
+                         _ptr(shapes, ctypes.c_int64),
+                         _ptr(scales, ctypes.c_float), int(threads))
+    return out, shapes, scales
