@@ -262,6 +262,35 @@ def inference_detector(model: DetectorHandle,
     return results[0] if single else results
 
 
+async def async_inference_detector(model: DetectorHandle,
+                                   imgs: Union[str, np.ndarray, Sequence]):
+    """Async inference for concurrent streams (reference:
+    apis/inference.py:155 async_inference_detector).
+
+    TPU-native shape: JAX dispatch is already asynchronous — the jitted
+    call only enqueues device work — so the awaits wrap the two HOST
+    stages (cv2 preprocessing and the device→host readback) in executor
+    threads, letting the event loop interleave other requests while the
+    chip computes."""
+    import asyncio
+    loop = asyncio.get_running_loop()
+    single = isinstance(imgs, (str, np.ndarray))
+    if single:
+        imgs = [imgs]
+    batch = await loop.run_in_executor(None, preprocess_images, imgs,
+                                       model.cfg)
+    run = model.jitted_simple_test()
+    out = run(model.variables, batch['img'], batch['img_shapes'],
+              batch['scale_factors'])
+    out = await loop.run_in_executor(None, jax.device_get, out)
+    num_classes = len(model.CLASSES)
+    mask_thr = dict(model.cfg.model.test_cfg.rcnn).get(
+        'mask_thr_binary', 0.5) \
+        if 'rcnn' in model.cfg.model.test_cfg else 0.5
+    results = format_results(out, batch['metas'], num_classes, mask_thr)
+    return results[0] if single else results
+
+
 def _canvas_max(processed, a, dim, divisor: int = 32) -> int:
     v = max(p['img'][a].shape[dim] for p in processed)
     return (v + divisor - 1) // divisor * divisor
