@@ -132,6 +132,19 @@ def _make_ss_handle(max_per_img=16):
     dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = jit_init(module, {'params': jax.random.PRNGKey(0)}, dummy,
                          method='forward_dummy')
+    # reference-faithful init (normal 0.01 + focal bias prior) makes
+    # random-init scores nearly identical across locations, which
+    # voids the score-cut comparison below — spread the cls logits
+    def spread(path, x):
+        if not any(getattr(k, 'key', None) == 'retina_cls' for k in path):
+            return x
+        last = getattr(path[-1], 'key', None)
+        if last == 'kernel':
+            return x * 40.0      # spread the logits
+        if last == 'bias':
+            return x * 0.0       # drop the -4.59 focal prior
+        return x
+    variables = jax.tree_util.tree_map_with_path(spread, variables)
     model_cfg = _Cfg(model=_Cfg(test_cfg=_Cfg(dict(cfg['test_cfg']))))
     return DetectorHandle(model_cfg, module, variables,
                           CLASSES=['a', 'b', 'c', 'd'])
