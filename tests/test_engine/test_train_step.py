@@ -42,7 +42,10 @@ def _make_tx(params):
 
 def test_train_step_8dev_mesh(setup):
     model, variables, batch = setup
-    params = variables['params']
+    # fresh buffers: the jitted step donates its state, and replicate()
+    # may alias the source arrays — don't let donation delete the
+    # module-scoped fixture's params
+    params = jax.tree.map(jnp.array, variables['params'])
     tx = _make_tx(params)
     state = TrainState.create(params, tx)
 
@@ -63,6 +66,28 @@ def test_train_step_8dev_mesh(setup):
     # second step must reuse the compiled program and change params
     state3, _ = step(state2, sbatch, rng)
     assert int(state3.step) == 2
+
+
+def test_train_step_4x2_data_model_mesh(setup):
+    """(data=4, model=2) mesh: the train step compiles and runs with a
+    2-D mesh — params replicated over the model axis, batch sharded
+    over data (SURVEY §2.10: TP axis is an extension hook; the step
+    must at least be mesh-shape agnostic)."""
+    model, variables, batch = setup
+    # fresh buffers — the 8-dev test's jitted step donates its state,
+    # which may alias the shared fixture's arrays
+    params = jax.tree.map(jnp.array, variables['params'])
+    tx = _make_tx(params)
+    state = TrainState.create(params, tx)
+
+    mesh = make_mesh(model_parallel=2)
+    assert mesh.shape['data'] == 4 and mesh.shape['model'] == 2
+    step = jit_train_step(make_train_step(model, tx), mesh)
+    state = replicate(mesh, state)
+    sbatch = shard_batch(mesh, batch)
+    state2, metrics = step(state, sbatch, jax.random.PRNGKey(0))
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics['loss']))
 
 
 def test_lr_schedule_values():
