@@ -214,23 +214,49 @@ class GuidedAnchorHead(AnchorHead):
                  active[..., None, None])
             return jnp.any(m, axis=1)                        # (B,H,W)
 
+        def region_masks(region, h, w, active):
+            """(B,G,4 region) & active (B,G) → (B,G,H,W) per-gt masks."""
+            x1, y1, x2, y2 = region
+            ys = jnp.arange(h, dtype=jnp.float32)
+            xs = jnp.arange(w, dtype=jnp.float32)
+            in_y = ((ys[None, None] >= y1[..., None]) &
+                    (ys[None, None] <= y2[..., None]))
+            in_x = ((xs[None, None] >= x1[..., None]) &
+                    (xs[None, None] <= x2[..., None]))
+            return (in_y[..., :, None] & in_x[..., None, :] &
+                    active[..., None, None])
+
         loc_targets, loc_weights = [], []
         total_cells = 0
         for lvl in range(num_lvls):
             h, w = featmap_sizes[lvl]
             stride = strides[lvl]
             at = (tl == lvl) & gt_valid
-            ctr = paint(calc_region(gt_bboxes, r1, stride, (h, w)), h, w,
-                        at)
-            ign = paint(calc_region(gt_bboxes, r2, stride, (h, w)), h, w,
-                        at)
+            ctr_g = region_masks(calc_region(gt_bboxes, r1, stride,
+                                             (h, w)), h, w, at)
+            ign_g = region_masks(calc_region(gt_bboxes, r2, stride,
+                                             (h, w)), h, w, at)
+            ctr = jnp.any(ctr_g, axis=1)
             adj = ((tl == lvl - 1) | (tl == lvl + 1)) & gt_valid
             ign_adj = paint(calc_region(gt_bboxes, r2, stride, (h, w)),
                             h, w, adj)
-            t = ctr.astype(jnp.float32)
-            wgt = jnp.where(ctr, 1.0,
-                            jnp.where(ign | ign_adj, 0.0, 0.1))
-            loc_targets.append(t)
+            # reference paints per-gt IN ORDER: ignore=0 then center=1
+            # (:437-446) — a later gt's ignore ring can zero an earlier
+            # gt's center. Sentinel -1 = untouched; scan reproduces the
+            # order exactly.
+            def step(wcur, masks):
+                ig, ct = masks
+                wcur = jnp.where(ig, 0.0, wcur)
+                return jnp.where(ct, 1.0, wcur), None
+
+            w0 = jnp.full((b, h, w), -1.0, jnp.float32)
+            wgt, _ = jax.lax.scan(
+                step, w0, (jnp.swapaxes(ign_g, 0, 1),
+                           jnp.swapaxes(ctr_g, 0, 1)))
+            # adjacent-level ignore only where still untouched (:468)
+            wgt = jnp.where((wgt < 0) & ign_adj, 0.0, wgt)
+            wgt = jnp.where(wgt < 0, 0.1, wgt)
+            loc_targets.append(ctr.astype(jnp.float32))
             loc_weights.append(wgt)
             total_cells += b * h * w
         loc_avg_factor = total_cells / 200.0
