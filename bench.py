@@ -31,6 +31,8 @@ def main():
         h, w, batch = 224, 320, 1
         dtype = jnp.float32
         iters, warmup = 5, 2
+    # experiment knob: batched inference amortizes per-dispatch overhead
+    batch = int(os.environ.get('SWINDET_BENCH_BATCH', batch))
 
     cfg = _tiny_swin_t_cfg()
     cfg['dtype'] = dtype
