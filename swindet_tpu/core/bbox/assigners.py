@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -199,30 +200,33 @@ class PointAssigner:
         cy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) * 0.5
         gw = jnp.clip(gt_bboxes[:, 2] - gt_bboxes[:, 0], 1e-6)
         gh = jnp.clip(gt_bboxes[:, 3] - gt_bboxes[:, 1], 1e-6)
-        # gt level: log2(sqrt(wh)/scale), clamped to the point levels
-        gt_lvl = jnp.floor(
-            jnp.log2(gw / self.scale) / 2 + jnp.log2(gh / self.scale) / 2
-            + 0.5)
-        gt_lvl = jnp.clip(gt_lvl, jnp.min(lvl), jnp.max(lvl))
+        # gt level: mean log2 size TRUNCATED toward zero (reference
+        # point_assigner.py:77 `.int()`), clamped to the point levels
+        gt_lvl = jnp.trunc(
+            (jnp.log2(gw / self.scale) + jnp.log2(gh / self.scale)) / 2)
+        lvl_i = jnp.trunc(lvl)
+        gt_lvl = jnp.clip(gt_lvl, jnp.min(lvl_i), jnp.max(lvl_i))
 
-        # normalized distance point→gt center at the gt's level scale
-        stride = 2.0 ** gt_lvl                                 # (G,)
-        dist = jnp.sqrt((px[:, None] - cx[None]) ** 2 +
-                        (py[:, None] - cy[None]) ** 2) / stride[None]
-        same_lvl = jnp.abs(lvl[:, None] - gt_lvl[None]) < 0.5
+        # elliptical distance point→gt center, per-axis normalized by
+        # the gt's width/height (reference point_assigner.py:100)
+        dist = jnp.sqrt(((px[:, None] - cx[None]) / gw[None]) ** 2 +
+                        ((py[:, None] - cy[None]) / gh[None]) ** 2)
+        same_lvl = jnp.abs(lvl_i[:, None] - gt_lvl[None]) < 0.5
         big = 1e8
         dist = jnp.where(same_lvl & gt_valid[None], dist, big)
         if bbox_valid is not None:
             dist = jnp.where(bbox_valid[:, None], dist, big)
 
-        # each gt claims its pos_num closest points
+        # each gt claims its pos_num closest points at its level
         rank = jnp.argsort(jnp.argsort(dist, axis=0), axis=0)  # (N, G)
         claims = (rank < self.pos_num) & (dist < big)
-        # later gt wins on conflict
-        rev = claims[:, ::-1]
-        last_g = g - 1 - jnp.argmax(rev, axis=1)
+        # conflict: the CLOSEST claiming gt wins; the reference's
+        # in-order loop overrides only on strictly smaller distance
+        # (:110), so ties keep the earlier gt — argmin's first-match
+        cl_dist = jnp.where(claims, dist, big)
+        win = jnp.argmin(cl_dist, axis=1).astype(jnp.int32)
         has = jnp.any(claims, axis=1)
-        gt_inds = jnp.where(has, last_g.astype(jnp.int32) + 1, 0)
+        gt_inds = jnp.where(has, win + 1, 0)
 
         if gt_labels is not None:
             lab = jnp.take(gt_labels.astype(jnp.int32),
@@ -441,7 +445,15 @@ class CenterRegionAssigner:
 
     def assign(self, bboxes, gt_bboxes, gt_valid, gt_labels=None,
                bbox_valid=None, gt_bboxes_ignore=None,
-               gt_ignore_valid=None) -> AssignResult:
+               gt_ignore_valid=None, return_shadowed: bool = False):
+        """Matches the reference's gt_inds/labels exactly: shadow-only
+        pixels stay BACKGROUND (0, not -1 — the reference tracks them
+        as a separate ``shadowed_labels`` per-class ignore list, :232);
+        a positive pixel shadowed by another gt of the SAME class is
+        demoted to background with label -1 (foreground_dominate=False,
+        :241-247). With ``return_shadowed`` also returns the (N, G)
+        bool shadow-pair mask (the reference's shadowed list) so FSAF
+        can zero per-class label weights."""
         n = bboxes.shape[0]
         g = gt_bboxes.shape[0]
         centers = (bboxes[:, :2] + bboxes[:, 2:4]) * 0.5
@@ -469,9 +481,23 @@ class CenterRegionAssigner:
         arg = jnp.argmax(score, axis=1).astype(jnp.int32)
         pos = jnp.any(in_core, axis=1)
         gt_inds = jnp.where(pos, arg + 1, 0)
-        # shadow of a DIFFERENT gt than the assigned one → ignore
-        only_shadow = jnp.any(in_shadow, axis=1) & ~pos
-        gt_inds = jnp.where(only_shadow, -1, gt_inds)
+        # the reference's shadowed list = shadow-ring pairs + core
+        # memberships that lost the priority contest (:322-329)
+        winner = jax.nn.one_hot(arg, g, dtype=bool) & pos[:, None]
+        shadowed = in_shadow | (in_core & ~winner)
+
+        if gt_labels is not None:
+            gl = gt_labels.astype(jnp.int32)
+            labels = jnp.where(pos, jnp.take(gl, jnp.clip(arg, 0)), -1)
+            # same-class shadow demotion (foreground_dominate=False)
+            same = shadowed & (gl[None, :] == labels[:, None]) \
+                & pos[:, None]
+            demote = jnp.any(same, axis=1)
+            gt_inds = jnp.where(demote, 0, gt_inds)
+            labels = jnp.where(demote, -1, labels)
+        else:
+            labels = jnp.full((n,), -1, jnp.int32)
+
         if gt_bboxes_ignore is not None and gt_ignore_valid is not None:
             ig = _scale_boxes(gt_bboxes_ignore, self.ignore_gt_scale)
             in_ig = ((centers[:, None, 0] >= ig[None, :, 0])
@@ -481,17 +507,13 @@ class CenterRegionAssigner:
                      & gt_ignore_valid[None, :])
             gt_inds = jnp.where(jnp.any(in_ig, axis=1), -1, gt_inds)
 
-        if gt_labels is not None:
-            labels = jnp.where(
-                gt_inds > 0,
-                jnp.take(gt_labels.astype(jnp.int32),
-                         jnp.clip(gt_inds - 1, 0)), -1)
-        else:
-            labels = jnp.full((n,), -1, jnp.int32)
         max_iof = jnp.max(jnp.where(gt_valid[None, :], iof_core, 0.0),
                           axis=1)
-        return AssignResult(gt_inds=gt_inds, max_overlaps=max_iof,
-                            labels=labels)
+        result = AssignResult(gt_inds=gt_inds, max_overlaps=max_iof,
+                              labels=labels)
+        if return_shadowed:
+            return result, shadowed
+        return result
 
 
 @BBOX_ASSIGNERS.register_module()

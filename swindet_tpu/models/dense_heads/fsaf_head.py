@@ -61,14 +61,23 @@ class FSAFHead(RetinaHead):
                 inside = anchor_inside_flags(
                     anchors, valid_flags, img_shape,
                     cfg.get('allowed_border', -1))
-                assign = self._assigner.assign(anchors, gb, gv, gl,
-                                               bbox_valid=inside)
+                assign, shadowed = self._assigner.assign(
+                    anchors, gb, gv, gl, bbox_valid=inside,
+                    return_shadowed=True)
                 pos = assign.gt_inds > 0
                 neg = assign.gt_inds == 0
                 gt_idx = jnp.clip(assign.gt_inds - 1, 0, G - 1)
                 bg = self.num_classes
                 labels = jnp.where(pos, jnp.clip(assign.labels, 0), bg)
-                lw = (pos | neg).astype(jnp.float32)
+                # per-(anchor, class) label weights (reference
+                # fsaf_head.py:155 `label_weights[idx_, label_] = 0`):
+                # shadowed (anchor, gt) pairs zero that gt's CLASS
+                # channel only; shadow-only anchors stay background
+                gl_oh = jax.nn.one_hot(jnp.clip(gl.astype(jnp.int32), 0),
+                                       C) * gv[:, None]       # (G, C)
+                shadow_c = (shadowed.astype(jnp.float32) @ gl_oh) > 0
+                lw = ((pos | neg).astype(jnp.float32)[:, None]
+                      * (1.0 - shadow_c.astype(jnp.float32)))  # (N, C)
 
                 cls = cls_lvls[lvl].astype(jnp.float32)
                 box = box_lvls[lvl].astype(jnp.float32)
