@@ -126,13 +126,15 @@ class RepPointsHead(nn.Module):
             px4, py4 = px[..., :4], py[..., :4]
             return jnp.stack([px4.min(-1), py4.min(-1),
                               px4.max(-1), py4.max(-1)], -1)
-        # moment
+        # moment — unbiased std (torch.std N-1 denominator, reference
+        # :200-201)
         mx = px.mean(-1)
         my = py.mean(-1)
-        sx = jnp.sqrt(jnp.clip(((px - mx[..., None]) ** 2).mean(-1),
-                               1e-12))
-        sy = jnp.sqrt(jnp.clip(((py - my[..., None]) ** 2).mean(-1),
-                               1e-12))
+        denom = max(self.num_points - 1, 1)
+        sx = jnp.sqrt(jnp.clip(((px - mx[..., None]) ** 2).sum(-1)
+                               / denom, 1e-12))
+        sy = jnp.sqrt(jnp.clip(((py - my[..., None]) ** 2).sum(-1)
+                               / denom, 1e-12))
         mt = self.moment_transfer
         mt = (mt * self.moment_mul +
               jax.lax.stop_gradient(mt) * (1 - self.moment_mul))
