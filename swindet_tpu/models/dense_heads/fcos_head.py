@@ -197,9 +197,11 @@ class FCOSHead(nn.Module):
             decoded.reshape(-1, 4), decoded_t.reshape(-1, 4),
             weight=jnp.where(pos, cness_t, 0.0).reshape(-1),
             avg_factor=denom)
+        # soft BCE against the CONTINUOUS centerness target (reference
+        # fcos_head.py:245 — binarizing it changes the loss)
         loss_cness = self._loss_centerness(
-            cness_flat.reshape(-1, 1),
-            (cness_t.reshape(-1)[:, None] > 0.5).astype(jnp.int32)[:, 0],
+            cness_flat.reshape(-1),
+            jnp.where(pos, cness_t, 0.0).reshape(-1),
             weight=pos.reshape(-1).astype(jnp.float32),
             avg_factor=num_pos)
         return dict(loss_cls=loss_cls, loss_bbox=loss_bbox,
