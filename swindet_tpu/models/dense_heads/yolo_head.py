@@ -12,6 +12,7 @@ from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from ..builder import (HEADS, build_anchor_generator, build_assigner,
@@ -141,21 +142,31 @@ class YOLOV3Head(nn.Module):
                 featmap_sizes, flat_anchors, anchor_strides, gb, gv, gl)
         )(gt_bboxes, gt_valid, gt_labels)
 
-        pred_flat = jnp.concatenate([
-            p.reshape(b, -1, self.num_attrib) for p in pred_maps],
-            1).astype(jnp.float32)
-
-        pos_mask = target_map[..., 4]
-        pos_and_neg = jnp.clip(pos_mask + neg_map.astype(jnp.float32),
-                               0., 1.)
-        loss_cls = self._loss_cls(pred_flat[..., 5:], target_map[..., 5:],
-                                  weight=pos_mask[..., None])
-        loss_conf = self._loss_conf(pred_flat[..., 4], pos_mask,
-                                    weight=pos_and_neg)
-        loss_xy = self._loss_xy(pred_flat[..., :2], target_map[..., :2],
-                                weight=pos_mask[..., None])
-        loss_wh = self._loss_wh(pred_flat[..., 2:4], target_map[..., 2:4],
-                                weight=pos_mask[..., None])
+        # the reference reduces PER LEVEL (multi_apply over loss_single,
+        # each a weighted mean over that level's elements) and sums the
+        # per-level means (yolo_head.py:369,:456-460) — a global mean
+        # over the concatenated levels weights levels differently
+        nas = self.prior_generator.num_base_anchors
+        counts = [int(np.prod(fs)) * nas[i]
+                  for i, fs in enumerate(featmap_sizes)]
+        offs = np.cumsum([0] + counts)
+        loss_cls = loss_conf = loss_xy = loss_wh = 0.
+        for lvl in range(len(pred_maps)):
+            pred = pred_maps[lvl].reshape(
+                b, -1, self.num_attrib).astype(jnp.float32)
+            tm = target_map[:, offs[lvl]:offs[lvl + 1]]
+            nm = neg_map[:, offs[lvl]:offs[lvl + 1]]
+            pos_mask = tm[..., 4]
+            pos_and_neg = jnp.clip(
+                pos_mask + nm.astype(jnp.float32), 0., 1.)
+            loss_cls += self._loss_cls(pred[..., 5:], tm[..., 5:],
+                                       weight=pos_mask[..., None])
+            loss_conf += self._loss_conf(pred[..., 4], pos_mask,
+                                         weight=pos_and_neg)
+            loss_xy += self._loss_xy(pred[..., :2], tm[..., :2],
+                                     weight=pos_mask[..., None])
+            loss_wh += self._loss_wh(pred[..., 2:4], tm[..., 2:4],
+                                     weight=pos_mask[..., None])
         return dict(loss_cls=loss_cls, loss_conf=loss_conf,
                     loss_xy=loss_xy, loss_wh=loss_wh)
 
