@@ -268,12 +268,12 @@ class RepPointsHead(nn.Module):
             bbox_init / norm, bbox_gt_i / norm,
             weight=jnp.broadcast_to(bbox_w_i[..., None],
                                     bbox_init.shape),
-            avg_factor=num_pos_i * 4)
+            avg_factor=num_pos_i)
         loss_pts_refine = self._loss_bbox_refine(
             bbox_refine / norm, bbox_gt_r / norm,
             weight=jnp.broadcast_to(bbox_w_r[..., None],
                                     bbox_refine.shape),
-            avg_factor=num_pos_r * 4)
+            avg_factor=num_pos_r)
         return dict(loss_cls=loss_cls, loss_pts_init=loss_pts_init,
                     loss_pts_refine=loss_pts_refine)
 
