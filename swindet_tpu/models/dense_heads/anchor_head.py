@@ -183,7 +183,11 @@ class AnchorHead(nn.Module):
                                      gt_bboxes, gt_valid, gt_labels,
                                      img_shapes, pad_shapes)
         if self.sampling:
-            num_total = jnp.sum(num_pos + num_neg).astype(jnp.float32)
+            # reference clamps PER-IMAGE counts to >= 1 (anchor_head.py
+            # :356-357 `max(inds.numel(), 1)`)
+            num_total = jnp.sum(jnp.maximum(num_pos, 1)
+                                + jnp.maximum(num_neg, 1)) \
+                .astype(jnp.float32)
         else:
             num_total = jnp.maximum(jnp.sum(num_pos).astype(jnp.float32), 1.)
 
