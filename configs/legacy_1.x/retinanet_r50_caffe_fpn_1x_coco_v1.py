@@ -1,0 +1,6 @@
+# (reference: configs/legacy_1.x/retinanet_r50_caffe_fpn_1x_coco_v1.py)
+_base_ = './retinanet_r50_fpn_1x_coco_v1.py'
+model = dict(
+    pretrained=None,
+    backbone=dict(style='caffe',
+                  norm_cfg=dict(type='BN', requires_grad=False)))

@@ -4,7 +4,8 @@ resnet.py:663, resnext.py) — NHWC flax implementation.
 Detection-style defaults mirror the reference: BN frozen in eval
 semantics (``norm_eval=True`` → running stats always used; detection
 fine-tuning never updates BN), ``frozen_stages`` gates gradient flow by
-stop_gradient, deep_stem/caffe-style options omitted (pytorch style).
+stop_gradient; style='caffe' puts the stage stride on conv1
+(reference Bottleneck :185); deep_stem omitted.
 
 Extras matching the reference backbone options:
 - ``norm_cfg=dict(type='GN', num_groups=32)`` swaps every BN for
@@ -100,6 +101,7 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    style: str = 'pytorch'    # caffe: stride on conv1 (reference :185)
     dilation: int = 1
     groups: int = 1
     base_width: int = 64
@@ -123,8 +125,11 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        conv1_stride = self.stride if self.style == 'caffe' else 1
+        conv2_stride = 1 if self.style == 'caffe' else self.stride
         identity = x
         out = make_conv(self.conv_cfg, width, (1, 1), padding='VALID',
+                        strides=conv1_stride,
                         dtype=self.dtype, name='conv1')(x)
         out = make_norm(self.norm_cfg, 'bn1')(out)
         out = nn.relu(out).astype(self.dtype)
@@ -134,12 +139,12 @@ class Bottleneck(nn.Module):
             modulated = self.dcn.get('type') == 'DCNv2'
             k = 9
             off_ch = dg * (3 if modulated else 2) * k
-            off = nn.Conv(off_ch, (3, 3), strides=self.stride,
+            off = nn.Conv(off_ch, (3, 3), strides=conv2_stride,
                           padding=[(1, 1)] * 2, dtype=jnp.float32,
                           kernel_init=nn.initializers.zeros,
                           bias_init=nn.initializers.zeros,
                           name='conv2.conv_offset')(out)
-            dconv = DeformConv2d(width, (3, 3), stride=self.stride,
+            dconv = DeformConv2d(width, (3, 3), stride=conv2_stride,
                                  deform_groups=dg, dtype=self.dtype,
                                  name='conv2')
             if modulated:
@@ -153,7 +158,7 @@ class Bottleneck(nn.Module):
                 out = dconv(out, off)
         else:
             out = make_conv(self.conv_cfg, width, (3, 3),
-                            strides=self.stride,
+                            strides=conv2_stride,
                             padding=[(self.dilation,) * 2] * 2,
                             kernel_dilation=self.dilation,
                             feature_group_count=self.groups,
@@ -199,6 +204,7 @@ class ResNet(nn.Module):
     frozen_stages: int = -1
     groups: int = 1
     base_width: int = 64
+    style: str = 'pytorch'
     norm_cfg: Optional[dict] = None
     conv_cfg: Optional[dict] = None
     dcn: Optional[dict] = None
@@ -247,6 +253,7 @@ class ResNet(nn.Module):
                 if block_cls is Bottleneck:
                     kwargs = dict(
                         groups=self.groups, base_width=self.base_width,
+                        style=self.style,
                         dcn=(self.dcn if self.stage_with_dcn[i]
                              else None),
                         plugins=self._stage_plugins(i))
