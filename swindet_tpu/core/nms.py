@@ -117,6 +117,18 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray,
         order = jnp.pad(order, (0, pad))
     num_tiles = n_pad // TILE
 
+    import os
+    if jax.default_backend() == 'tpu' and \
+            os.environ.get('SWINDET_PALLAS_NMS'):
+        # single-kernel scan (ops/nms_pallas.py) — same keep set/order;
+        # opt-in until benchmarked on hardware
+        from ..ops.nms_pallas import nms_pallas_sorted
+        dets_p, inds_p, cnt_p = nms_pallas_sorted(
+            boxes_s, score_s, valid_s, order, iou_threshold, max_out)
+        out_valid = jnp.arange(max_out) < cnt_p
+        dets_p = jnp.where(out_valid[:, None], dets_p, 0.0)
+        return NMSResult(dets=dets_p, inds=inds_p, valid=out_valid)
+
     buf_boxes0 = jnp.zeros((max_out, 4), boxes.dtype)
     buf_scores0 = jnp.full((max_out,), -jnp.inf, score_s.dtype)
     buf_inds0 = jnp.zeros((max_out,), jnp.int32)
