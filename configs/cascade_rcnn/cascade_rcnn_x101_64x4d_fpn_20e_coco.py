@@ -1,0 +1,11 @@
+# (reference: configs/cascade_rcnn/cascade_rcnn_x101_64x4d_fpn_20e_coco.py)
+_base_ = './cascade_rcnn_r50_fpn_20e_coco.py'
+model = dict(
+    backbone=dict(
+        type='ResNeXt',
+        depth=101,
+        groups=64,
+        base_width=4,
+        num_stages=4,
+        out_indices=(0, 1, 2, 3),
+        frozen_stages=1))

@@ -1,5 +1,5 @@
-# (reference: configs/gcnet/mask_rcnn_r101_fpn_r4_gcb_c3-c5_1x_coco.py)
-_base_ = '../mask_rcnn/mask_rcnn_r101_fpn_1x_coco.py'
+# (reference: configs/gcnet/cascade_mask_rcnn_x101_32x4d_fpn_r4_gcb_c3-c5_1x_coco.py)
+_base_ = '../cascade_rcnn/cascade_mask_rcnn_x101_32x4d_fpn_1x_coco.py'
 model = dict(
     backbone=dict(plugins=[
         dict(

@@ -1,0 +1,3 @@
+# (reference: configs/gcnet/mask_rcnn_r101_fpn_syncbn-backbone_1x_coco.py)
+_base_ = './mask_rcnn_r50_fpn_syncbn-backbone_1x_coco.py'
+model = dict(backbone=dict(depth=101))

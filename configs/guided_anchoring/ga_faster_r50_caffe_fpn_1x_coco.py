@@ -1,0 +1,6 @@
+# (reference: configs/guided_anchoring/ga_faster_r50_caffe_fpn_1x_coco.py)
+_base_ = './ga_faster_r50_fpn_1x_coco.py'
+model = dict(
+    pretrained=None,
+    backbone=dict(style='caffe',
+                  norm_cfg=dict(type='BN', requires_grad=False)))

@@ -1,5 +1,5 @@
 # Localization Distillation (reference: configs/ld/
-# ld_r50_gflv1_r101_fpn_coco_1x.py). Teacher params are frozen via
+# ld_r34_gflv1_r101_fpn_coco_1x.py). Teacher params are frozen via
 # paramwise lr/decay mult 0 on the _teacher scope (TPU-native analog of
 # the reference's teacher exclusion from the optimizer).
 _base_ = [
@@ -12,7 +12,7 @@ model = dict(
     teacher_config='configs/gfl/gfl_r50_fpn_1x_coco.py',
     backbone=dict(
         type='ResNet',
-        depth=50,
+        depth=34,
         num_stages=4,
         out_indices=(0, 1, 2, 3),
         frozen_stages=1,
@@ -20,7 +20,7 @@ model = dict(
         norm_eval=True),
     neck=dict(
         type='FPN',
-        in_channels=[256, 512, 1024, 2048],
+        in_channels=[64, 128, 256, 512],
         out_channels=256,
         start_level=1,
         add_extra_convs='on_output',
