@@ -1,0 +1,4 @@
+# (reference: configs/cornernet/cornernet_hourglass104_mstest_32x3_210e_coco.py)
+_base_ = './cornernet_hourglass104_mstest_8x6_210e_coco.py'
+# 32 GPU x 3 img layout of the same recipe
+data = dict(samples_per_gpu=3, workers_per_gpu=3)
