@@ -69,6 +69,15 @@ class StandardRoIHead(nn.Module):
             x = self._shared_head(x, train=train)
         return self._bbox_head(x, train=train)
 
+    def _mask_feats(self, feats, rois, train: bool = False):
+        """Mask-branch RoI features; C4-style heads route them through
+        the shared ResLayer too (reference standard_roi_head.py
+        _mask_forward: `if self.with_shared_head`)."""
+        x = self._mask_extractor(feats, rois)
+        if self.shared_head is not None:
+            x = self._shared_head(x, train=train)
+        return x
+
     def forward_dummy(self, feats, num_rois: int = 100):
         """Touch all parameters (init / FLOPs)."""
         rois = jnp.concatenate([
@@ -77,7 +86,7 @@ class StandardRoIHead(nn.Module):
         ], axis=-1)
         outs = self._bbox_forward(feats, rois)
         if self.with_mask:
-            outs += (self._mask_head(self._mask_extractor(feats, rois)),)
+            outs += (self._mask_head(self._mask_feats(feats, rois)),)
         return outs
 
     # ----------------------------------------------------------------- ohem
@@ -289,7 +298,7 @@ class StandardRoIHead(nn.Module):
             mask_rois = jnp.concatenate(
                 [jnp.repeat(np.arange(b, dtype=np.float32), m)[:, None],
                  pos_boxes.reshape(-1, 4)], axis=-1)
-            mask_feats = self._mask_extractor(feats, mask_rois)
+            mask_feats = self._mask_feats(feats, mask_rois, train=True)
             mask_pred = self._mask_head(mask_feats, train=True)
 
             mask_size = self.train_cfg.get('mask_size', 28)
@@ -332,7 +341,7 @@ class StandardRoIHead(nn.Module):
         mask_rois = jnp.concatenate(
             [jnp.repeat(np.arange(b, dtype=np.float32), m)[:, None],
              det_boxes.reshape(-1, 4)], axis=-1)
-        mask_pred = self._mask_head(self._mask_extractor(feats, mask_rois))
+        mask_pred = self._mask_head(self._mask_feats(feats, mask_rois))
         probs = self._mask_head.get_mask_probs(mask_pred,
                                                det_labels.reshape(-1))
         return probs.reshape(b, m, probs.shape[1], probs.shape[2])
@@ -374,7 +383,7 @@ class StandardRoIHead(nn.Module):
                 [jnp.repeat(np.arange(b, dtype=np.float32),
                             max_out)[:, None],
                  det_boxes.reshape(-1, 4)], axis=-1)
-            mask_feats = self._mask_extractor(feats, mask_rois)
+            mask_feats = self._mask_feats(feats, mask_rois)
             mask_pred = self._mask_head(mask_feats)
             probs = self._mask_head.get_mask_probs(
                 mask_pred, nms_res.labels.reshape(-1))

@@ -259,3 +259,102 @@ def test_trident_faster_rcnn_forward():
                       method='simple_test')
     assert out['dets'].shape == (2, 16, 5)
     assert np.all(np.isfinite(np.asarray(out['dets'])))
+
+
+def tiny_mask_c4_cfg():
+    """C4-style Mask R-CNN: shared ResLayer feeds BOTH the bbox and
+    mask branches (reference: _base_/models/mask_rcnn_r50_caffe_c4.py
+    mask_roi_extractor=None)."""
+    norm_cfg = dict(type='BN', requires_grad=False)
+    return dict(
+        type='MaskRCNN',
+        backbone=dict(type='ResNet', depth=50, base_channels=8,
+                      num_stages=3, strides=(1, 2, 2),
+                      dilations=(1, 1, 1), out_indices=(2,),
+                      style='caffe'),
+        rpn_head=dict(
+            type='RPNHead', in_channels=128, feat_channels=32,
+            anchor_generator=dict(type='AnchorGenerator',
+                                  scales=[2, 4], ratios=[0.5, 1.0, 2.0],
+                                  strides=[16]),
+            bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                            target_means=[0., 0., 0., 0.],
+                            target_stds=[1., 1., 1., 1.]),
+            loss_cls=dict(type='CrossEntropyLoss', use_sigmoid=True,
+                          loss_weight=1.0),
+            loss_bbox=dict(type='L1Loss', loss_weight=1.0)),
+        roi_head=dict(
+            type='StandardRoIHead',
+            shared_head=dict(type='ResLayer', depth=50, stage=3,
+                             stride=2, dilation=1, norm_cfg=norm_cfg,
+                             base_channels=8, style='caffe'),
+            bbox_roi_extractor=dict(
+                type='SingleRoIExtractor',
+                roi_layer=dict(type='RoIAlign', output_size=14,
+                               sampling_ratio=0),
+                out_channels=128, featmap_strides=[16]),
+            bbox_head=dict(
+                type='BBoxHead', with_avg_pool=True, roi_feat_size=7,
+                in_channels=256, num_classes=4,
+                bbox_coder=dict(type='DeltaXYWHBBoxCoder',
+                                target_means=[0., 0., 0., 0.],
+                                target_stds=[0.1, 0.1, 0.2, 0.2]),
+                loss_cls=dict(type='CrossEntropyLoss'),
+                loss_bbox=dict(type='L1Loss', loss_weight=1.0)),
+            mask_roi_extractor=None,
+            mask_head=dict(
+                type='FCNMaskHead', num_convs=0, in_channels=256,
+                conv_out_channels=32, num_classes=4,
+                loss_mask=dict(type='CrossEntropyLoss', use_mask=True,
+                               loss_weight=1.0))),
+        train_cfg=dict(
+            rpn=dict(
+                assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.7,
+                              neg_iou_thr=0.3, min_pos_iou=0.3,
+                              match_low_quality=True,
+                              ignore_iof_thr=-1),
+                sampler=dict(type='RandomSampler', num=32,
+                             pos_fraction=0.5, neg_pos_ub=-1,
+                             add_gt_as_proposals=False),
+                allowed_border=0, pos_weight=-1),
+            rpn_proposal=dict(nms_pre=64, max_per_img=24,
+                              nms=dict(type='nms', iou_threshold=0.7),
+                              min_bbox_size=0),
+            rcnn=dict(
+                assigner=dict(type='MaxIoUAssigner', pos_iou_thr=0.5,
+                              neg_iou_thr=0.5, min_pos_iou=0.5,
+                              match_low_quality=False,
+                              ignore_iof_thr=-1),
+                sampler=dict(type='RandomSampler', num=16,
+                             pos_fraction=0.25, neg_pos_ub=-1,
+                             add_gt_as_proposals=True),
+                mask_size=14, pos_weight=-1)),
+        test_cfg=dict(
+            rpn=dict(nms_pre=64, max_per_img=24,
+                     nms=dict(type='nms', iou_threshold=0.7),
+                     min_bbox_size=0),
+            rcnn=dict(score_thr=0.05,
+                      nms=dict(type='nms', iou_threshold=0.5),
+                      max_per_img=16, mask_thr_binary=0.5)))
+
+
+def test_mask_c4_shared_head_forward():
+    model = build_detector(tiny_mask_c4_cfg())
+    batch = demo_inputs(b=2, h=64, w=64, with_mask=True)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'], method='forward_dummy')
+    losses = model.apply(
+        variables, batch['img'], batch['img_shapes'],
+        batch['pad_shapes'], batch['gt_bboxes'], batch['gt_valid'],
+        batch['gt_labels'], gt_masks=batch['gt_masks'],
+        method='forward_train',
+        rngs={'sampling': jax.random.PRNGKey(2)})
+    for k in ('loss_cls', 'loss_bbox', 'loss_mask'):
+        assert np.isfinite(float(losses[k])), (k, losses)
+    out = model.apply(variables, batch['img'], batch['img_shapes'],
+                      jnp.ones((2, 4), jnp.float32),
+                      method='simple_test')
+    assert out['dets'].shape == (2, 16, 5)
+    assert 'mask_probs' in out
