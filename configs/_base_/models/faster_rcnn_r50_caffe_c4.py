@@ -1,11 +1,9 @@
-# C4-style Mask R-CNN (reference: configs/_base_/models/
-# mask_rcnn_r50_caffe_c4.py): single C4 feature at stride 16, res5
-# shared head (bbox AND mask branches), avg-pool BBoxHead, conv-free
-# mask head on the shared 2048-ch features. Caffe flavor: stage stride
-# on conv1, frozen BN.
+# C4-style Faster R-CNN (reference: configs/_base_/models/
+# faster_rcnn_r50_caffe_c4.py): single C4 feature at stride 16, res5
+# shared head feeding an avg-pool BBoxHead; no neck, no mask branch.
 norm_cfg = dict(type='BN', requires_grad=False)
 model = dict(
-    type='MaskRCNN',
+    type='FasterRCNN',
     pretrained=None,
     backbone=dict(
         type='ResNet',
@@ -65,16 +63,7 @@ model = dict(
             loss_cls=dict(
                 type='CrossEntropyLoss', use_sigmoid=False,
                 loss_weight=1.0),
-            loss_bbox=dict(type='L1Loss', loss_weight=1.0)),
-        mask_roi_extractor=None,
-        mask_head=dict(
-            type='FCNMaskHead',
-            num_convs=0,
-            in_channels=2048,
-            conv_out_channels=256,
-            num_classes=80,
-            loss_mask=dict(type='CrossEntropyLoss', use_mask=True,
-                           loss_weight=1.0))),
+            loss_bbox=dict(type='L1Loss', loss_weight=1.0))),
     train_cfg=dict(
         rpn=dict(
             assigner=dict(
@@ -112,7 +101,6 @@ model = dict(
                 pos_fraction=0.25,
                 neg_pos_ub=-1,
                 add_gt_as_proposals=True),
-            mask_size=14,
             pos_weight=-1,
             debug=False)),
     test_cfg=dict(

@@ -35,6 +35,8 @@ class FCOSHead(nn.Module):
     center_sample_radius: float = 1.5
     norm_on_bbox: bool = False
     centerness_on_reg: bool = False
+    dcn_on_last_conv: bool = False
+    conv_bias: Any = 'auto'
     loss_cls: Optional[dict] = None
     loss_bbox: Optional[dict] = None
     loss_centerness: Optional[dict] = None
@@ -75,13 +77,19 @@ class FCOSHead(nn.Module):
     def _build_towers(self):
         """Stacked 3x3 conv towers; overridden by NASFCOSHead with the
         searched ops (reference: nasfcos_head.py:21 _init_layers)."""
+        def conv_cfg_of(i):
+            if self.dcn_on_last_conv and i == self.stacked_convs - 1:
+                return dict(type='DCNv2')   # reference fcos_head.py:107
+            return None
         cls_convs = [
             ConvModule(self.feat_channels, 3, padding=1,
+                       conv_cfg=conv_cfg_of(i), bias=self.conv_bias,
                        norm_cfg=self.norm_cfg, act_cfg=dict(type='ReLU'),
                        dtype=self.dtype, name=f'cls_convs{i}')
             for i in range(self.stacked_convs)]
         reg_convs = [
             ConvModule(self.feat_channels, 3, padding=1,
+                       conv_cfg=conv_cfg_of(i), bias=self.conv_bias,
                        norm_cfg=self.norm_cfg, act_cfg=dict(type='ReLU'),
                        dtype=self.dtype, name=f'reg_convs{i}')
             for i in range(self.stacked_convs)]
@@ -96,7 +104,15 @@ class FCOSHead(nn.Module):
             reg_feat = conv(reg_feat, train=train)
         cls_score = self.conv_cls(cls_feat)
         bbox_pred = self.conv_reg(reg_feat) * self.scales[lvl]
-        bbox_pred = jnp.exp(bbox_pred.astype(jnp.float32))
+        bbox_pred = bbox_pred.astype(jnp.float32)
+        if self.norm_on_bbox:
+            # stride-normalized regression (reference fcos_head.py:148):
+            # relu'd raw units in training, scaled to pixels at test time
+            bbox_pred = jax.nn.relu(bbox_pred)
+            if not train:
+                bbox_pred = bbox_pred * self.strides[lvl]
+        else:
+            bbox_pred = jnp.exp(bbox_pred)
         cness_feat = reg_feat if self.centerness_on_reg else cls_feat
         centerness = self.conv_centerness(cness_feat)
         return cls_score, bbox_pred, centerness
@@ -114,10 +130,11 @@ class FCOSHead(nn.Module):
             pts.append(jnp.stack([p[:, 0] + s // 2, p[:, 1] + s // 2], -1))
         return pts
 
-    def _target_single(self, points, ranges, gt_bboxes, gt_valid,
-                       gt_labels):
+    def _target_single(self, points, strides_pts, ranges, gt_bboxes,
+                       gt_valid, gt_labels):
         """(reference fcos_head get_target_single). points (N, 2);
-        ranges (N, 2); gts padded (G, ...)."""
+        strides_pts (N,) per-point level stride; ranges (N, 2); gts
+        padded (G, ...)."""
         n = points.shape[0]
         g = gt_bboxes.shape[0]
         areas = ((gt_bboxes[:, 2] - gt_bboxes[:, 0]) *
@@ -132,7 +149,20 @@ class FCOSHead(nn.Module):
         bottom = gt_bboxes[None, :, 3] - ys
         ltrb = jnp.stack([left, top, right, bottom], -1)   # (N, G, 4)
 
-        inside = ltrb.min(-1) > 0
+        if self.center_sampling:
+            # positives must fall in a radius*stride box around the gt
+            # center, clipped to the gt box (reference fcos_head.py:556)
+            r = (strides_pts * self.center_sample_radius)[:, None]
+            cx = ((gt_bboxes[:, 0] + gt_bboxes[:, 2]) * 0.5)[None]
+            cy = ((gt_bboxes[:, 1] + gt_bboxes[:, 3]) * 0.5)[None]
+            x0 = jnp.maximum(cx - r, gt_bboxes[None, :, 0])
+            y0 = jnp.maximum(cy - r, gt_bboxes[None, :, 1])
+            x1 = jnp.minimum(cx + r, gt_bboxes[None, :, 2])
+            y1 = jnp.minimum(cy + r, gt_bboxes[None, :, 3])
+            cb = jnp.stack([xs - x0, ys - y0, x1 - xs, y1 - ys], -1)
+            inside = cb.min(-1) > 0
+        else:
+            inside = ltrb.min(-1) > 0
         maxd = ltrb.max(-1)
         in_range = (maxd >= ranges[:, None, 0]) & \
                    (maxd <= ranges[:, None, 1])
@@ -168,12 +198,19 @@ class FCOSHead(nn.Module):
             jnp.broadcast_to(jnp.asarray(r, jnp.float32)[None],
                              (p.shape[0], 2))
             for p, r in zip(pts, self.regress_ranges)], 0)
+        strides_pts = jnp.concatenate([
+            jnp.full((p.shape[0],), s, jnp.float32)
+            for p, s in zip(pts, self.strides)], 0)
         b = gt_bboxes.shape[0]
 
         labels, bbox_t, pos = jax.vmap(
             lambda gb, gv, gl: self._target_single(
-                all_pts, ranges, gb, gv, gl))(gt_bboxes, gt_valid,
-                                              gt_labels)
+                all_pts, strides_pts, ranges, gb, gv, gl))(
+                    gt_bboxes, gt_valid, gt_labels)
+        if self.norm_on_bbox:
+            # targets in stride units to match the relu'd train-mode
+            # predictions (reference fcos_head.py:524)
+            bbox_t = bbox_t / strides_pts[None, :, None]
 
         cls_flat = jnp.concatenate(
             [s.reshape(b, -1, self.num_classes) for s in cls_scores], 1)

@@ -166,12 +166,15 @@ class VFNetHead(FCOSHead):
             jnp.broadcast_to(jnp.asarray(r, jnp.float32)[None],
                              (p.shape[0], 2))
             for p, r in zip(pts, self.regress_ranges)], 0)
+        strides_pts = jnp.concatenate([
+            jnp.full((p.shape[0],), s, jnp.float32)
+            for p, s in zip(pts, self.strides)], 0)
         b = gt_bboxes.shape[0]
 
         labels, bbox_t, pos = jax.vmap(
             lambda gb, gv, gl: self._target_single(
-                all_pts, ranges, gb, gv, gl))(gt_bboxes, gt_valid,
-                                              gt_labels)
+                all_pts, strides_pts, ranges, gb, gv, gl))(
+                    gt_bboxes, gt_valid, gt_labels)
 
         C = self.num_classes
         cls_flat = jnp.concatenate(

@@ -267,6 +267,16 @@ class ConvModule(nn.Module):
                                   kernel_init=self.kernel_init,
                                   bias_init=self.bias_init, name='conv')(x)
         if self.conv_cfg is not None and \
+                self.conv_cfg.get('type') in ('DCN', 'DCNv2'):
+            # deformable tower conv (reference: ConvModule with
+            # conv_cfg=dict(type='DCNv2') — fcos/vfnet dcn_on_last_conv)
+            from ..ops.deform_conv import ModulatedDeformConvPack
+            x = ModulatedDeformConvPack(
+                self.out_channels, ks[0], stride=self.stride,
+                deform_groups=self.conv_cfg.get('deform_groups', 1),
+                modulated=(self.conv_cfg['type'] == 'DCNv2'),
+                use_bias=use_bias, dtype=self.dtype, name='conv')(x)
+        elif self.conv_cfg is not None and \
                 self.conv_cfg.get('type') in ('ConvWS', 'ConvAWS'):
             x = WSConv(self.out_channels, ks, strides=self.stride,
                        padding=padding, kernel_dilation=self.dilation,

@@ -126,13 +126,15 @@ class ModulatedDeformConvPack(nn.Module):
     stride: int = 1
     deform_groups: int = 1
     use_bias: bool = True
+    modulated: bool = True   # False = mmcv DeformConv2dPack (DCNv1)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size * self.kernel_size
         dg = self.deform_groups
-        off = nn.Conv(dg * 3 * k, (self.kernel_size,) * 2,
+        per_tap = 3 if self.modulated else 2
+        off = nn.Conv(dg * per_tap * k, (self.kernel_size,) * 2,
                       strides=self.stride,
                       padding=[(self.kernel_size // 2,) * 2] * 2,
                       dtype=jnp.float32,
@@ -140,10 +142,13 @@ class ModulatedDeformConvPack(nn.Module):
                       bias_init=nn.initializers.zeros,
                       name='conv_offset')(x)
         b, ho, wo, _ = off.shape
-        off3 = off.reshape(b, ho, wo, dg, 3, k)
-        offset = off3[..., :2, :].transpose(0, 1, 2, 3, 5, 4) \
-            .reshape(b, ho, wo, dg * 2 * k)
-        mask = off3[..., 2, :].reshape(b, ho, wo, dg * k)
+        if self.modulated:
+            off3 = off.reshape(b, ho, wo, dg, 3, k)
+            offset = off3[..., :2, :].transpose(0, 1, 2, 3, 5, 4) \
+                .reshape(b, ho, wo, dg * 2 * k)
+            mask = off3[..., 2, :].reshape(b, ho, wo, dg * k)
+        else:
+            offset, mask = off, None
         return DeformConv2d(self.features,
                             (self.kernel_size,) * 2,
                             stride=self.stride, deform_groups=dg,
