@@ -1,0 +1,11 @@
+# (reference: configs/hrnet/
+# fcos_hrnetv2p_w18_gn-head_mstrain_640-800_4x4_2x_coco.py)
+_base_ = './fcos_hrnetv2p_w32_gn-head_mstrain_640-800_4x4_2x_coco.py'
+model = dict(
+    backbone=dict(
+        extra=dict(
+            stage2=dict(num_channels=(18, 36)),
+            stage3=dict(num_channels=(18, 36, 72)),
+            stage4=dict(num_channels=(18, 36, 72, 144)))),
+    neck=dict(type='HRFPN', in_channels=[18, 36, 72, 144],
+              out_channels=256))

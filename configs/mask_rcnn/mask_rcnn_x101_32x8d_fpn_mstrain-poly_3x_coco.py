@@ -1,0 +1,5 @@
+# (reference: configs/mask_rcnn/
+# mask_rcnn_x101_32x8d_fpn_mstrain-poly_3x_coco.py)
+_base_ = './mask_rcnn_x101_32x8d_fpn_mstrain-poly_1x_coco.py'
+lr_config = dict(step=[28, 34])
+runner = dict(type='EpochBasedRunner', max_epochs=36)

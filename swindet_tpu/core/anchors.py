@@ -342,3 +342,23 @@ class LegacyAnchorGenerator(AnchorGenerator):
                          x_c + 0.5 * (ws - 1), y_c + 0.5 * (hs - 1)],
                         axis=-1)
         return np.round(base).astype(np.float32)
+
+
+@ANCHOR_GENERATORS.register_module()
+class LegacySSDAnchorGenerator(SSDAnchorGenerator):
+    """MMDet v1.x SSD anchors (reference: core/anchor/
+    anchor_generator.py:582 LegacySSDAnchorGenerator): SSD size/ratio
+    schedule with legacy centers ((stride-1)/2) and the v1 rounded
+    (w-1)-style corner math."""
+
+    # borrow the v1 base-anchor math
+    gen_single_level_base_anchors = \
+        LegacyAnchorGenerator.gen_single_level_base_anchors
+
+    def __init__(self, strides, ratios, basesize_ratio_range,
+                 input_size: int = 300, scale_major: bool = False):
+        super().__init__(strides, ratios, basesize_ratio_range,
+                         input_size=input_size, scale_major=scale_major)
+        self.centers = [((s[0] - 1) / 2., (s[1] - 1) / 2.)
+                        for s in self.strides]
+        self.base_anchors = self.gen_base_anchors()

@@ -37,6 +37,9 @@ class RepPointsHead(nn.Module):
     point_base_scale: int = 4
     transform_method: str = 'moment'
     moment_mul: float = 0.01
+    use_grid_points: bool = False
+    center_init: bool = True
+    norm_cfg: Optional[dict] = None
     loss_cls: Optional[dict] = None
     loss_bbox_init: Optional[dict] = None
     loss_bbox_refine: Optional[dict] = None
@@ -74,15 +77,19 @@ class RepPointsHead(nn.Module):
 
         self.cls_convs = [
             ConvModule(self.feat_channels, 3, padding=1,
+                       norm_cfg=self.norm_cfg,
                        act_cfg=dict(type='ReLU'), dtype=self.dtype,
                        name=f'cls_convs{i}')
             for i in range(self.stacked_convs)]
         self.reg_convs = [
             ConvModule(self.feat_channels, 3, padding=1,
+                       norm_cfg=self.norm_cfg,
                        act_cfg=dict(type='ReLU'), dtype=self.dtype,
                        name=f'reg_convs{i}')
             for i in range(self.stacked_convs)]
-        pts_out = 2 * self.num_points
+        # grid mode regresses a box (4) and derives the point grid from
+        # it (reference reppoints_head.py gen_grid_from_reg)
+        pts_out = 4 if self.use_grid_points else 2 * self.num_points
         self.reppoints_cls_conv = DeformConv2d(
             self.point_feat_channels, (3, 3), dtype=self.dtype,
             name='reppoints_cls_conv')
@@ -144,11 +151,45 @@ class RepPointsHead(nn.Module):
                           mx + half_w, my + half_h], -1)
 
     # ------------------------------------------------------------ forward
+    def gen_grid_from_reg(self, reg, previous_boxes):
+        """Box regression (B, H, W, 4 = [dx, dy, dw, dh]) on top of
+        ``previous_boxes`` → uniform kxk point grid inside the regressed
+        box, y-first interleaved (B, H, W, 2K), plus the box itself
+        (reference reppoints_head.py:129 gen_grid_from_reg). Units are
+        feature cells throughout."""
+        k = int(np.sqrt(self.num_points))
+        bxy = (previous_boxes[..., :2] + previous_boxes[..., 2:]) * 0.5
+        bwh = jnp.clip(previous_boxes[..., 2:] - previous_boxes[..., :2],
+                       1e-6)
+        topleft = (bxy + bwh * reg[..., :2]
+                   - 0.5 * bwh * jnp.exp(reg[..., 2:]))
+        wh = bwh * jnp.exp(reg[..., 2:])
+        t = jnp.linspace(0.0, 1.0, k).astype(reg.dtype)
+        # point (i, j) = (top + h*t[i], left + w*t[j]); order i*k+j
+        gy = topleft[..., 1:2] + wh[..., 1:2] * t       # (..., k) rows
+        gx = topleft[..., 0:1] + wh[..., 0:1] * t       # (..., k) cols
+        yy = jnp.repeat(gy, k, axis=-1)                 # y0 x k, y1 x k…
+        xx = jnp.tile(gx, (1,) * (gx.ndim - 1) + (k,))
+        grid = jnp.stack([yy, xx], -1).reshape(
+            reg.shape[:-1] + (2 * self.num_points,))
+        box = jnp.concatenate(
+            [topleft, topleft + wh], -1)
+        return grid, box
+
     def forward_single(self, x, train: bool = False):
         """(reference :253). Returns (cls_out, pts_init, pts_refine),
         point offsets in feature-cell units, y-first pairs."""
         scale = self.point_base_scale / 2
-        points_init = 0.0  # zero-init center points
+        base = self.dcn_base_offset.reshape(-1)      # (2K,) y-first
+        if self.use_grid_points or not self.center_init:
+            points_init = jnp.asarray(
+                base / np.abs(self.dcn_base_offset).max() * scale,
+                self.dtype)
+            bbox_init = jnp.asarray(
+                [-scale, -scale, scale, scale], jnp.float32)
+        else:
+            points_init = 0.0  # zero-init center points
+            bbox_init = None
         cls_feat = x
         pts_feat = x
         for conv in self.cls_convs:
@@ -157,20 +198,28 @@ class RepPointsHead(nn.Module):
             pts_feat = conv(pts_feat, train=train)
         pts_out_init = self.reppoints_pts_init_out(
             nn.relu(self.reppoints_pts_init_conv(pts_feat)))
-        pts_out_init = pts_out_init + points_init
+        if self.use_grid_points:
+            pts_out_init, bbox_out_init = self.gen_grid_from_reg(
+                pts_out_init.astype(jnp.float32), bbox_init)
+        else:
+            pts_out_init = pts_out_init + points_init
 
         grad_pts = (self.gradient_mul * pts_out_init +
                     (1 - self.gradient_mul)
                     * jax.lax.stop_gradient(pts_out_init))
-        base = self.dcn_base_offset.reshape(-1)      # (2K,) y-first
         dcn_offset = grad_pts - jnp.asarray(base, grad_pts.dtype)
 
         cls_out = self.reppoints_cls_out(
             nn.relu(self.reppoints_cls_conv(cls_feat, dcn_offset)))
         pts_out_refine = self.reppoints_pts_refine_out(
             nn.relu(self.reppoints_pts_refine_conv(pts_feat, dcn_offset)))
-        pts_out_refine = pts_out_refine + \
-            jax.lax.stop_gradient(pts_out_init)
+        if self.use_grid_points:
+            pts_out_refine, _ = self.gen_grid_from_reg(
+                pts_out_refine.astype(jnp.float32),
+                jax.lax.stop_gradient(bbox_out_init))
+        else:
+            pts_out_refine = pts_out_refine + \
+                jax.lax.stop_gradient(pts_out_init)
         return cls_out, pts_out_init, pts_out_refine
 
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):

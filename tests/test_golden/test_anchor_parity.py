@@ -80,3 +80,18 @@ def test_legacy_anchor_parity():
     ref = ref_build(dict(cfg))
     ours = build_anchor_generator(dict(cfg))
     _cmp(ours.grid_anchors(SIZES[:2]), ref.grid_anchors(SIZES[:2], device='cpu'))
+
+
+def test_legacy_ssd_anchor_parity():
+    refbridge.install()
+    from mmdet.core import build_anchor_generator as ref_build
+    from swindet_tpu.models.builder import build_anchor_generator
+
+    cfg = dict(type='LegacySSDAnchorGenerator', scale_major=False,
+               input_size=300, basesize_ratio_range=(0.15, 0.9),
+               strides=[8, 16, 32, 64, 100, 300],
+               ratios=[[2], [2, 3], [2, 3], [2, 3], [2], [2]])
+    sizes = [(38, 38), (19, 19), (10, 10), (5, 5), (3, 3), (1, 1)]
+    ref = ref_build(dict(cfg))
+    ours = build_anchor_generator(dict(cfg))
+    _cmp(ours.grid_anchors(sizes), ref.grid_anchors(sizes, device='cpu'))

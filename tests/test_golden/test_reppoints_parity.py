@@ -51,3 +51,43 @@ def test_points2bbox_parity(method):
     o = bound.points2bbox(jnp.asarray(pts), y_first=True)
     np.testing.assert_allclose(np.asarray(o), r.numpy(), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_gen_grid_from_reg_parity():
+    """Grid-RepPoints box→point-grid parity (reference
+    reppoints_head.py:216 gen_grid_from_reg): same y-first interleaved
+    channel order and regressed box."""
+    import torch
+    refbridge.install()
+    from mmdet.models.dense_heads.reppoints_head import \
+        RepPointsHead as RefHead
+    from swindet_tpu.models.dense_heads.reppoints_head import \
+        RepPointsHead
+
+    ref = RefHead.__new__(RefHead)
+    torch.nn.Module.__init__(ref)
+    ref.num_points = 9
+    ref.dcn_kernel = 3
+
+    rs = np.random.RandomState(1)
+    b, h, w = 2, 5, 6
+    reg = rs.randn(b, 4, h, w).astype(np.float32) * 0.5
+    prev = np.asarray([-2., -2., 2., 2.], np.float32)
+
+    with torch.no_grad():
+        r_grid, r_box = ref.gen_grid_from_reg(
+            torch.tensor(reg),
+            torch.tensor(prev).view(1, 4, 1, 1).repeat(b, 1, h, w))
+
+    ours = RepPointsHead(num_classes=4, in_channels=8, feat_channels=8,
+                         point_feat_channels=8, num_points=9,
+                         use_grid_points=True)
+    # NHWC in ours; reference is NCHW
+    o_grid, o_box = ours.gen_grid_from_reg(
+        jnp.asarray(reg.transpose(0, 2, 3, 1)), jnp.asarray(prev))
+    np.testing.assert_allclose(
+        np.asarray(o_grid).transpose(0, 3, 1, 2), r_grid.numpy(),
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(o_box).transpose(0, 3, 1, 2), r_box.numpy(),
+        rtol=1e-4, atol=1e-4)
