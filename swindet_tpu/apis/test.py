@@ -25,6 +25,121 @@ def _round_up(v, d=32):
     return (v + d - 1) // d * d
 
 
+def _native_eval_plan(dataset):
+    """Opt-in (SWINDET_NATIVE_IMAGE=1) native batched test loader: when
+    the test pipeline is the canonical single-scale keep-ratio pattern
+    (LoadImageFromFile → MultiScaleFlipAug[Resize keep_ratio,
+    RandomFlip(off), Normalize, Pad(size_divisor)] …) the whole
+    decode→rescale→normalize→pad stage runs in the C++ thread pool
+    (native/image_ops.cpp image_load_batch) instead of per-image
+    Python. Returns the decode plan, or None to use the Python path
+    (reference counterpart: DataLoader fork workers running
+    mmcv imread/imresize/imnormalize, mmdet/apis/test.py:16)."""
+    import os
+    if os.environ.get('SWINDET_NATIVE_IMAGE') != '1':
+        return None
+    from .. import native
+    if not native.image_available():
+        return None
+    from ..datasets.pipelines import transforms as T
+    tfs = getattr(getattr(dataset, 'pipeline', None), 'transforms', None)
+    infos = getattr(dataset, 'data_infos', None)
+    if not tfs or len(tfs) != 2 or infos is None:
+        return None
+    load, msfa = tfs
+    if not isinstance(load, T.LoadImageFromFile) \
+            or not isinstance(msfa, T.MultiScaleFlipAug):
+        return None
+    if msfa.flip or len(msfa.img_scale) != 1 \
+            or not isinstance(msfa.img_scale[0], tuple):
+        return None
+    inner = msfa.transforms.transforms
+    allowed = (T.Resize, T.RandomFlip, T.Normalize, T.Pad,
+               T.ImageToTensor, T.DefaultFormatBundle, T.Collect)
+    if any(not isinstance(t, allowed) for t in inner):
+        return None
+    resize = next((t for t in inner if isinstance(t, T.Resize)), None)
+    norm = next((t for t in inner if isinstance(t, T.Normalize)), None)
+    pad = next((t for t in inner if isinstance(t, T.Pad)), None)
+    if resize is None or norm is None or pad is None:
+        return None
+    if not resize.keep_ratio or pad.size_divisor is None or pad.pad_val:
+        return None
+    if any('height' not in i or 'width' not in i for i in infos):
+        return None
+    scale = msfa.img_scale[0]
+    prefix = getattr(dataset, 'img_prefix', '') or ''
+    paths = [os.path.join(prefix, i['filename']) for i in infos]
+    ori = np.array([(i['height'], i['width']) for i in infos], np.int64)
+    return dict(paths=paths, long=max(scale), short=min(scale),
+                mean=norm.mean, std=norm.std, to_rgb=norm.to_rgb,
+                divisor=pad.size_divisor, ori=ori)
+
+
+def _native_batched_test(model: DetectorHandle, dataset, plan,
+                         batch_size, num_classes, mask_thr,
+                         logger=None) -> List:
+    """Eval loop over native-decoded batches (see _native_eval_plan)."""
+    from .. import native
+    n = len(dataset)
+    run = model.jitted_simple_test()
+    flags = getattr(dataset, 'flag', np.zeros(n, np.uint8))
+    long_e, short_e, d = plan['long'], plan['short'], plan['divisor']
+    results: List = [None] * n
+    t0 = time.perf_counter()
+    done = 0
+    for g in (0, 1):
+        idxs = np.nonzero(flags == g)[0]
+        if idxs.size == 0:
+            continue
+        if g == 1:  # landscape w >= h
+            ch, cw = _round_up(short_e, d), _round_up(long_e, d)
+        else:
+            ch, cw = _round_up(long_e, d), _round_up(short_e, d)
+        for s in range(0, len(idxs), batch_size):
+            chunk = idxs[s:s + batch_size]
+            b = len(chunk)
+            img, shapes, scales = native.image_load_batch(
+                [plan['paths'][i] for i in chunk], (ch, cw),
+                (long_e, short_e), plan['mean'], plan['std'],
+                to_rgb=plan['to_rgb'], threads=8)
+            if (shapes <= 0).any():
+                bad = chunk[np.nonzero((shapes <= 0).any(1))[0][0]]
+                raise FileNotFoundError(
+                    f'cannot read image {plan["paths"][bad]}')
+            if b < batch_size:  # keep ONE static batch shape
+                padn = batch_size - b
+                img = np.concatenate(
+                    [img, np.zeros((padn, ch, cw, 3), np.float32)])
+                shapes = np.concatenate(
+                    [shapes, np.ones((padn, 2), np.int64)])
+                scales = np.concatenate(
+                    [scales, np.ones((padn, 2), np.float32)])
+            img_shapes = shapes.astype(np.int32)
+            scale_factors = np.concatenate(
+                [scales, scales], -1).astype(np.float32)  # (w,h,w,h)
+            metas = [dict(ori_shape=(int(plan['ori'][i][0]),
+                                     int(plan['ori'][i][1]), 3),
+                          img_shape=(int(shapes[j][0]),
+                                     int(shapes[j][1])),
+                          scale_factor=scale_factors[j])
+                     for j, i in enumerate(chunk)]
+            out = run(model.variables, jnp.asarray(img),
+                      jnp.asarray(img_shapes), jnp.asarray(scale_factors))
+            out = jax.device_get(out)
+            out = {k: v[:b] for k, v in out.items()}
+            batch_results = format_results(out, metas, num_classes,
+                                           mask_thr)
+            for j, i in enumerate(chunk):
+                results[i] = batch_results[j]
+            done += b
+            if logger is not None and done % (batch_size * 10) < batch_size:
+                dt = time.perf_counter() - t0
+                logger.info(
+                    f'test [{done}/{n}] {done / dt:.1f} img/s (native)')
+    return results
+
+
 def single_gpu_test(model: DetectorHandle, dataset,
                     batch_size: int = 8,
                     show: bool = False,
@@ -38,6 +153,11 @@ def single_gpu_test(model: DetectorHandle, dataset,
     test_cfg = dict(model.cfg.model.test_cfg)
     mask_thr = dict(test_cfg['rcnn']).get('mask_thr_binary', 0.5) \
         if 'rcnn' in test_cfg else 0.5
+
+    plan = _native_eval_plan(dataset)
+    if plan is not None:
+        return _native_batched_test(model, dataset, plan, batch_size,
+                                    num_classes, mask_thr, logger)
 
     # ---- gather pipeline outputs, grouped by orientation
     groups: Dict[int, List[int]] = {0: [], 1: []}

@@ -229,6 +229,9 @@ def image_load_batch(paths, canvas_hw, scale_long_short, mean, std,
     n = len(paths)
     ch, cw = canvas_hw
     le, se = scale_long_short
+    # oversubscription is catastrophic on small hosts (the pool's
+    # work-stealing spins); never exceed the core count
+    threads = max(1, min(threads, os.cpu_count() or 1, n))
     out = np.empty((n, ch, cw, 3), np.float32)
     shapes = np.empty((n, 2), np.int64)
     scales = np.empty((n, 2), np.float32)
