@@ -34,4 +34,21 @@ def _setup_compilation_cache():
         pass
 
 
+def _honor_platform_env():
+    """Re-assert JAX_PLATFORMS into jax's config: site plugins may
+    rewrite the platform priority list at import (e.g. to
+    'axon,cpu'), which makes JAX_PLATFORMS=cpu runs block on an
+    unreachable accelerator tunnel. The user's env wins."""
+    env = _os.environ.get('JAX_PLATFORMS')
+    if not env:
+        return
+    try:
+        import jax
+        if jax.config.jax_platforms != env:
+            jax.config.update('jax_platforms', env)
+    except Exception:  # pragma: no cover - best-effort
+        pass
+
+
 _setup_compilation_cache()
+_honor_platform_env()
