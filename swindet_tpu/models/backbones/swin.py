@@ -20,6 +20,7 @@ renaming + transpose pass.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import numpy as np
@@ -153,6 +154,25 @@ class PatchifyDense(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Hosts kernel/bias with nn.Dense's exact names and inits, for
+    paths that consume the weights directly (the v4 fused kernel)
+    instead of calling Dense — the param tree stays checkpoint-
+    compatible either way."""
+    in_features: int
+    out_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param('kernel', trunc_normal_init(),
+                            (self.in_features, self.out_features))
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.out_features,)) if self.use_bias \
+            else None
+        return kernel, bias
+
+
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias (reference: swin_transformer.py:73).
 
@@ -184,6 +204,28 @@ class WindowAttention(nn.Module):
         idx = relative_position_index(wh, ww).reshape(-1)
         bias = table[idx].reshape(n, n, nh)        # N,N,nH (fp32)
         bias = bias.transpose(2, 0, 1)              # nH,N,N
+
+        # v4 fold (opt-in): qkv GEMM + attention + out-proj in ONE
+        # Pallas kernel — the packed qkv and the attention output never
+        # round-trip HBM (ops/window_attention_v4.py). Param tree is
+        # identical to the Dense path (qkv/kernel, proj/kernel, ...).
+        if (os.environ.get('SWINDET_WATTN_V4') == '1'
+                and self.attn_drop == 0.0 and self.proj_drop == 0.0
+                and self.qk_scale is None):
+            wqkv = _DenseParams(c, 3 * c, self.qkv_bias, name='qkv')()
+            wproj = _DenseParams(c, c, True, name='proj')()
+            from ...ops.window_attention_v4 import (
+                window_attention_v4, window_attention_v4_reference)
+            bqkv = wqkv[1] if wqkv[1] is not None \
+                else jnp.zeros((3 * c,), jnp.float32)
+            m32 = None if mask is None else mask.astype(jnp.float32)
+            if jax.default_backend() == 'tpu':
+                return window_attention_v4(
+                    x, wqkv[0], bqkv, bias.astype(jnp.float32), m32,
+                    wproj[0], wproj[1], num_heads=nh).astype(self.dtype)
+            return window_attention_v4_reference(
+                x, wqkv[0], bqkv, bias.astype(jnp.float32), m32,
+                wproj[0], wproj[1], num_heads=nh).astype(self.dtype)
 
         qkv = nn.Dense(c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=trunc_normal_init(), name='qkv')(x)
