@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..builder import BACKBONES
-from ..layers import DropPath, Mlp, trunc_normal_init
+from ..layers import DenseParams, DropPath, Mlp, trunc_normal_init
 from ...ops.layer_norm import FusedLayerNorm
 
 Dtype = Any
@@ -154,25 +154,6 @@ class PatchifyDense(nn.Module):
         return y + bias.astype(self.dtype)
 
 
-class _DenseParams(nn.Module):
-    """Hosts kernel/bias with nn.Dense's exact names and inits, for
-    paths that consume the weights directly (the v4 fused kernel)
-    instead of calling Dense — the param tree stays checkpoint-
-    compatible either way."""
-    in_features: int
-    out_features: int
-    use_bias: bool = True
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param('kernel', trunc_normal_init(),
-                            (self.in_features, self.out_features))
-        bias = self.param('bias', nn.initializers.zeros,
-                          (self.out_features,)) if self.use_bias \
-            else None
-        return kernel, bias
-
-
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias (reference: swin_transformer.py:73).
 
@@ -212,8 +193,8 @@ class WindowAttention(nn.Module):
         if (os.environ.get('SWINDET_WATTN_V4') == '1'
                 and self.attn_drop == 0.0 and self.proj_drop == 0.0
                 and self.qk_scale is None):
-            wqkv = _DenseParams(c, 3 * c, self.qkv_bias, name='qkv')()
-            wproj = _DenseParams(c, c, True, name='proj')()
+            wqkv = DenseParams(c, 3 * c, self.qkv_bias, name='qkv')()
+            wproj = DenseParams(c, c, True, name='proj')()
             from ...ops.window_attention_v4 import (
                 window_attention_v4, window_attention_v4_reference)
             bqkv = wqkv[1] if wqkv[1] is not None \

@@ -7,6 +7,7 @@ fp32 params/norms, mirroring the reference's force_fp32 boundaries.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -60,6 +61,25 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+class DenseParams(nn.Module):
+    """Hosts kernel/bias with nn.Dense's exact names and inits, for
+    paths that consume the weights directly (fused Pallas kernels)
+    instead of calling Dense — the param tree stays checkpoint-
+    compatible either way."""
+    in_features: int
+    out_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param('kernel', trunc_normal_init(),
+                            (self.in_features, self.out_features))
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.out_features,)) if self.use_bias \
+            else None
+        return kernel, bias
+
+
 class Mlp(nn.Module):
     """fc1 → GELU → fc2 (reference: swin_transformer.py:20)."""
     hidden_features: int
@@ -69,6 +89,23 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        # fused fc1→gelu→fc2 (opt-in): the (tokens, hidden) activation
+        # never leaves VMEM (ops/fused_mlp.py)
+        if (os.environ.get('SWINDET_FUSED_MLP') == '1'
+                and self.drop == 0.0):
+            c = x.shape[-1]
+            w1, b1 = DenseParams(c, self.hidden_features,
+                                 name='fc1')()
+            w2, b2 = DenseParams(self.hidden_features,
+                                 self.out_features, name='fc2')()
+            from ..ops.fused_mlp import fused_mlp, fused_mlp_reference
+            xd = x.astype(self.dtype)
+            if jax.default_backend() == 'tpu':
+                return fused_mlp(xd, w1, b1, w2, b2).astype(self.dtype)
+            return fused_mlp_reference(
+                xd, w1.astype(self.dtype), b1.astype(self.dtype),
+                w2.astype(self.dtype), b2.astype(self.dtype))
+
         x = nn.Dense(self.hidden_features, dtype=self.dtype,
                      kernel_init=trunc_normal_init(), name='fc1')(x)
         x = nn.gelu(x, approximate=False)
