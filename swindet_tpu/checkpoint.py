@@ -109,6 +109,18 @@ def convert_torch_state_dict(
             k = k[len('encoder.'):]
         sd[k] = np.asarray(v.numpy() if hasattr(v, 'numpy') else v)
 
+    # per-level torch Scale modules (fcos/atss/gfl/vfnet heads:
+    # `scales.{i}.scale` scalar each) → our single (L,) 'scales' vector
+    scale_groups: Dict[str, Dict[int, np.ndarray]] = {}
+    for k in list(sd):
+        m = re.match(r'^(.*)\.scales\.(\d+)\.scale$', k)
+        if m:
+            scale_groups.setdefault(m.group(1), {})[int(m.group(2))] = \
+                sd.pop(k)
+    for base, lv in scale_groups.items():
+        sd[f'{base}.scales'] = np.stack(
+            [lv[i].reshape(()) for i in sorted(lv)], 0)
+
     # backbone-only (classification pretrain) checkpoints have no
     # 'backbone.' prefix — add it if the tree expects one
     flat_params = _flatten(params)
