@@ -71,6 +71,10 @@ def flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
     key = '.'.join(parts)
     # flax BatchNorm lives under .../bn/...; torch folds it into the module
     key = key.replace('.bn.', '.')
+    # anonymous norm wrappers inside ConvModule: mmcv names them by kind
+    # (conv_module.py norm_name = 'gn' | 'bn')
+    key = key.replace('.norm.GroupNorm_0.', '.gn.')
+    key = key.replace('.norm.BatchNorm_0.', '.bn.')
     # norm wrapper modules keep their name; drop duplicated segments
     return key
 
@@ -197,8 +201,11 @@ def convert_torch_state_dict(
 
     unexpected = [k for k in sd
                   if k not in used and 'relative_position_index' not in k
-                  and 'attn_mask' not in k and not k.endswith(
-                      'num_batches_tracked')]
+                  and 'attn_mask' not in k
+                  and not k.endswith('num_batches_tracked')
+                  # GFL Integral's linspace buffer (gfl_head.py:31) —
+                  # a constant, rebuilt at trace time here
+                  and not k.endswith('integral.project')]
     if missing:
         logger.warning(f'missing keys ({len(missing)}): {missing[:10]}...')
     if unexpected:
