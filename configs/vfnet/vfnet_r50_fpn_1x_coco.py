@@ -19,6 +19,14 @@ model = dict(
         stacked_convs=3, feat_channels=256,
         strides=[8, 16, 32, 64, 128],
         center_sampling=False, dcn_on_last_conv=False,
+        use_atss=True,
+        anchor_generator=dict(
+            type='AnchorGenerator',
+            ratios=[1.0],
+            octave_base_scale=8,
+            scales_per_octave=1,
+            center_offset=0.0,
+            strides=[8, 16, 32, 64, 128]),
         use_vfl=True,
         loss_cls=dict(type='VarifocalLoss', use_sigmoid=True,
                       alpha=0.75, gamma=2.0, iou_weighted=True,

@@ -117,12 +117,12 @@ def convert_torch_state_dict(
     # `scales.{i}.scale` scalar each) → our single (L,) 'scales' vector
     scale_groups: Dict[str, Dict[int, np.ndarray]] = {}
     for k in list(sd):
-        m = re.match(r'^(.*)\.scales\.(\d+)\.scale$', k)
+        m = re.match(r'^(.*\.scales(?:_refine)?)\.(\d+)\.scale$', k)
         if m:
             scale_groups.setdefault(m.group(1), {})[int(m.group(2))] = \
                 sd.pop(k)
     for base, lv in scale_groups.items():
-        sd[f'{base}.scales'] = np.stack(
+        sd[base] = np.stack(
             [lv[i].reshape(()) for i in sorted(lv)], 0)
 
     # backbone-only (classification pretrain) checkpoints have no
@@ -168,6 +168,12 @@ def convert_torch_state_dict(
                 else:
                     # Conv: OIHW → HWIO
                     src = src.transpose(2, 3, 1, 0)
+            elif name == 'weight' and src.ndim == 4 \
+                    and len(tgt_shape) == 3:
+                # deformable conv: torch OIHW → our (K=kh*kw, in, out)
+                # tap-major row order (ops/deform_conv.py:105)
+                o, i_, kh, kw = src.shape
+                src = src.transpose(2, 3, 1, 0).reshape(kh * kw, i_, o)
             elif name == 'kernel' and src.ndim == 2:
                 hint = flatten_hints.get('/'.join(path[:-1]))
                 if hint is not None and src.shape[1] == np.prod(hint):

@@ -3,8 +3,9 @@ vfnet_head.py:19, arXiv:2008.13367): FCOS-style towers, an initial
 (l, t, r, b) regression, star-shaped deformable refinement of both the
 regression and the IoU-aware classification branch, varifocal loss.
 
-Static-shape port: FCOS area-based target assignment over the point
-set (the reference's use_atss=False branch); the star DCN offsets are
+Static-shape port: ATSS assignment on the square anchor set by
+default (use_atss=True, matching the reference's default), or FCOS
+area-based point assignment (use_atss=False); the star DCN offsets are
 built in NHWC (dy, dx) pairs for ops/deform_conv.DeformConv2d, which
 adds the base kernel grid itself — so the base is subtracted here
 exactly as the reference does for mmcv's DCN.
@@ -18,10 +19,11 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..builder import HEADS, build_loss
+from ..builder import (HEADS, build_anchor_generator, build_assigner,
+                       build_loss)
 from ..layers import ConvModule, bias_prob_init, normal_init
-from ...core.anchors import PointGenerator
-from ...core.bbox.coders import distance2bbox
+from ...core.anchors import PointGenerator, anchor_inside_flags
+from ...core.bbox.coders import bbox2distance, distance2bbox
 from ...core.bbox.iou import bbox_overlaps
 from ...ops.deform_conv import DeformConv2d
 from .fcos_head import FCOSHead, INF
@@ -50,11 +52,29 @@ class VFNetHead(FCOSHead):
     gradient_mul: float = 0.1
     bbox_norm_type: str = 'reg_denom'
     use_vfl: bool = True
+    use_atss: bool = True
+    sync_num_pos: bool = True   # pos-count sync comes from the engine's
+                                # mesh loss averaging; accepted for
+                                # config parity
+    anchor_generator: Optional[dict] = None
     dcn_on_last_conv: bool = False
     loss_bbox_refine: Optional[dict] = None
 
     def setup(self):
         self.point_generator = PointGenerator()
+        if self.use_atss:
+            # square-anchor generator used ONLY for ATSS target
+            # assignment (reference vfnet_head.py:92-137); its
+            # center_offset also shifts the head's points
+            ag = dict(self.anchor_generator or dict(
+                type='AnchorGenerator', ratios=[1.0],
+                octave_base_scale=8, scales_per_octave=1,
+                center_offset=0.0, strides=list(self.strides)))
+            self.anchor_center_offset = ag.get('center_offset', 0.0)
+            self.atss_prior_generator = build_anchor_generator(ag)
+            if self.train_cfg:
+                self._atss_assigner = build_assigner(
+                    dict(dict(self.train_cfg)['assigner']))
         self._loss_cls = build_loss(dict(
             self.loss_cls or dict(type='VarifocalLoss', use_sigmoid=True,
                                   alpha=0.75, gamma=2.0,
@@ -108,6 +128,48 @@ class VFNetHead(FCOSHead):
         self.scales_refine = self.param('scales_refine',
                                         nn.initializers.ones,
                                         (len(self.strides),))
+
+    def _get_points(self, featmap_sizes):
+        """ATSS mode places points at the anchor centers
+        (grid + stride * center_offset, reference vfnet_head.py:613);
+        FCOS mode keeps the stride//2 cell centers."""
+        if not self.use_atss:
+            return super()._get_points(featmap_sizes)
+        pts = []
+        for fs, s in zip(featmap_sizes, self.strides):
+            p = self.point_generator.grid_points(fs, s)
+            off = s * self.anchor_center_offset
+            pts.append(jnp.stack([p[:, 0] + off, p[:, 1] + off], -1))
+        return pts
+
+    def _atss_vfnet_target_single(self, featmap_sizes, all_pts,
+                                  flat_anchors, num_level_anchors,
+                                  gt_bboxes, gt_valid, gt_labels,
+                                  img_shape, pad_shape):
+        """ATSS assignment on the square anchors; targets are the raw
+        assigned gt boxes converted to (l, t, r, b) point distances
+        (reference vfnet_head.py get_atss_targets:710 +
+        transform_bbox_targets:765; atss _get_target_single returns
+        pos_gt_bboxes because VFNetHead carries no bbox_coder)."""
+        cfg = dict(self.train_cfg)
+        valid_flags = jnp.concatenate(
+            self.atss_prior_generator.valid_flags(featmap_sizes,
+                                                  pad_shape), 0)
+        inside = anchor_inside_flags(flat_anchors, valid_flags,
+                                     img_shape,
+                                     cfg.get('allowed_border', -1))
+        assign = self._atss_assigner.assign(
+            flat_anchors, num_level_anchors, gt_bboxes, gt_valid,
+            gt_labels, bbox_valid=inside)
+        pos = assign.gt_inds > 0
+        labels = jnp.where(pos, jnp.clip(assign.labels, 0),
+                           self.num_classes)
+        g = gt_bboxes.shape[0]
+        gt_idx = jnp.clip(assign.gt_inds - 1, 0, g - 1)
+        pos_gt = jnp.take(gt_bboxes, gt_idx, axis=0)
+        ltrb = bbox2distance(all_pts, pos_gt)
+        bbox_t = jnp.where(pos[:, None], ltrb, 0.0)
+        return labels, bbox_t, pos
 
     def forward_single(self, x, lvl: int, train: bool = False):
         stride = self.strides[lvl]
@@ -171,10 +233,23 @@ class VFNetHead(FCOSHead):
             for p, s in zip(pts, self.strides)], 0)
         b = gt_bboxes.shape[0]
 
-        labels, bbox_t, pos = jax.vmap(
-            lambda gb, gv, gl: self._target_single(
-                all_pts, strides_pts, ranges, gb, gv, gl))(
-                    gt_bboxes, gt_valid, gt_labels)
+        if self.use_atss:
+            anchor_list = self.atss_prior_generator.grid_anchors(
+                featmap_sizes)
+            num_level_anchors = [int(a.shape[0]) for a in anchor_list]
+            flat_anchors = jnp.concatenate(anchor_list, 0)
+            labels, bbox_t, pos = jax.vmap(
+                lambda gb, gv, gl, sh, ps:
+                self._atss_vfnet_target_single(
+                    featmap_sizes, all_pts, flat_anchors,
+                    num_level_anchors, gb, gv, gl, sh, ps))(
+                        gt_bboxes, gt_valid, gt_labels, img_shapes,
+                        pad_shapes)
+        else:
+            labels, bbox_t, pos = jax.vmap(
+                lambda gb, gv, gl: self._target_single(
+                    all_pts, strides_pts, ranges, gb, gv, gl))(
+                        gt_bboxes, gt_valid, gt_labels)
 
         C = self.num_classes
         cls_flat = jnp.concatenate(

@@ -373,7 +373,8 @@ def test_vfnet_forward():
                        feat_channels=16, stacked_convs=1,
                        norm_cfg=dict(type='GN', num_groups=4),
                        strides=[8, 16, 32, 64, 128]),
-        train_cfg=dict(),
+        train_cfg=dict(assigner=dict(type='ATSSAssigner', topk=9),
+                       allowed_border=-1, pos_weight=-1, debug=False),
         test_cfg=dict(nms_pre=100, score_thr=0.05,
                       nms=dict(type='nms', iou_threshold=0.6),
                       max_per_img=16))
