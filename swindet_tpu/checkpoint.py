@@ -93,6 +93,74 @@ def _interp_bias_table(table: np.ndarray, target_len: int,
     return t.reshape(s2 * s2, nh)
 
 
+def _translate_detr_keys(sd: Dict[str, np.ndarray]
+                         ) -> Dict[str, np.ndarray]:
+    """Rewrite reference DETR transformer keys (mmdet/models/utils/
+    transformer.py — torch nn.MultiheadAttention with packed
+    in_proj_weight, FFN layers.{0.0,1}, per-layer norms ModuleList)
+    into this framework's naming (models/transformer.py — enc{i}/dec{i}
+    with split q/k/v/out projections, ffn.fc{i}, norm{1..3}).
+    No-op for checkpoints without '.in_proj_weight' keys."""
+    if not any(k.endswith('.in_proj_weight') for k in sd):
+        return sd
+    out: Dict[str, np.ndarray] = {}
+
+    def attn_name(stage, seg):
+        if stage == 'encoder':
+            return 'self_attn'
+        return 'self_attn' if seg == 'self_attn' else 'cross_attn'
+
+    for k, v in sd.items():
+        m = re.match(
+            r'^(.*transformer)\.(encoder|decoder)\.layers\.(\d+)\.(.+)$',
+            k)
+        if m is None:
+            # head-level DETR leaves
+            if k.endswith('query_embedding.weight'):
+                out[k[:-len('.weight')]] = v
+            elif re.search(r'reg_ffn\.layers\.0\.0\.(weight|bias)$', k):
+                out[re.sub(r'reg_ffn\.layers\.0\.0\.', 'reg_ffn0.', k)] \
+                    = v
+            elif re.search(r'reg_ffn\.layers\.1\.(weight|bias)$', k):
+                out[re.sub(r'reg_ffn\.layers\.1\.', 'reg_ffn1.', k)] = v
+            elif re.search(r'\.input_proj\.weight$', k) and v.ndim == 4:
+                out[k] = v[:, :, 0, 0]   # 1x1 Conv2d → Dense
+            elif re.search(r'transformer\.decoder\.norm\.', k):
+                out[k.replace('transformer.decoder.norm.',
+                              'transformer.dec_norm.')] = v
+            else:
+                out[k] = v
+            continue
+        base, stage, idx, rest = m.groups()
+        pre = f'{base}.{"enc" if stage == "encoder" else "dec"}{idx}'
+        am = re.match(r'^(self_attn|multihead_attn)\.attn\.(.+)$', rest)
+        if am:
+            a = attn_name(stage, am.group(1))
+            leaf = am.group(2)
+            if leaf in ('in_proj_weight', 'in_proj_bias'):
+                d = v.shape[0] // 3
+                suffix = 'weight' if leaf == 'in_proj_weight' else 'bias'
+                for j, p in enumerate(('q_proj', 'k_proj', 'v_proj')):
+                    out[f'{pre}.{a}.{p}.{suffix}'] = v[j * d:(j + 1) * d]
+            else:  # out_proj.weight / out_proj.bias
+                out[f'{pre}.{a}.{leaf}'] = v
+            continue
+        fm = re.match(r'^ffn\.layers\.0\.0\.(weight|bias)$', rest)
+        if fm:
+            out[f'{pre}.ffn.fc0.{fm.group(1)}'] = v
+            continue
+        fm = re.match(r'^ffn\.layers\.1\.(weight|bias)$', rest)
+        if fm:
+            out[f'{pre}.ffn.fc1.{fm.group(1)}'] = v
+            continue
+        nm = re.match(r'^norms\.(\d+)\.(weight|bias)$', rest)
+        if nm:
+            out[f'{pre}.norm{int(nm.group(1)) + 1}.{nm.group(2)}'] = v
+            continue
+        out[k] = v
+    return out
+
+
 def convert_torch_state_dict(
         state_dict: Dict[str, Any],
         params: Dict,
@@ -112,6 +180,8 @@ def convert_torch_state_dict(
         if k.startswith('encoder.'):  # MoBY SSL checkpoints
             k = k[len('encoder.'):]
         sd[k] = np.asarray(v.numpy() if hasattr(v, 'numpy') else v)
+
+    sd = _translate_detr_keys(sd)
 
     # per-level torch Scale modules (fcos/atss/gfl/vfnet heads:
     # `scales.{i}.scale` scalar each) → our single (L,) 'scales' vector
