@@ -161,6 +161,45 @@ def _translate_detr_keys(sd: Dict[str, np.ndarray]
     return out
 
 
+def _translate_ssd_vgg_keys(sd: Dict[str, np.ndarray]
+                            ) -> Dict[str, np.ndarray]:
+    """Rewrite reference SSDVGG keys (mmdet/models/backbones/
+    ssd_vgg.py — one flat torch `features` Sequential incl. the dilated
+    fc6/fc7, `extra` list, `l2_norm`) into this framework's naming
+    (models/backbones/ssd_vgg.py — features{conv#}, fc6, fc7,
+    extra{i}, l2_norm_scale_param). No-op without an fc6 at
+    features.31."""
+    if not any(k.endswith('features.31.weight') for k in sd):
+        return sd
+    # VGG-16 conv positions in the torch Sequential (conv,relu pairs +
+    # a pool per stage, last pool dropped): stages (2,2,3,3,3)
+    conv_pos = []
+    idx = 0
+    for n in (2, 2, 3, 3, 3):
+        for _ in range(n):
+            conv_pos.append(idx)
+            idx += 2
+        idx += 1                       # MaxPool
+    pos_to_name = {p: f'features{i}' for i, p in enumerate(conv_pos)}
+    pos_to_name[31] = 'fc6'
+    pos_to_name[33] = 'fc7'
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        m = re.match(r'^(.*?)features\.(\d+)\.(weight|bias)$', k)
+        if m and int(m.group(2)) in pos_to_name:
+            out[f'{m.group(1)}{pos_to_name[int(m.group(2))]}'
+                f'.{m.group(3)}'] = v
+        elif re.search(r'\.l2_norm\.weight$', k):
+            out[k.replace('.l2_norm.weight', '.l2_norm_scale_param')] = v
+        else:
+            m = re.match(r'^(.*?)extra\.(\d+)\.(weight|bias)$', k)
+            if m:
+                out[f'{m.group(1)}extra{m.group(2)}.{m.group(3)}'] = v
+            else:
+                out[k] = v
+    return out
+
+
 def convert_torch_state_dict(
         state_dict: Dict[str, Any],
         params: Dict,
@@ -182,6 +221,7 @@ def convert_torch_state_dict(
         sd[k] = np.asarray(v.numpy() if hasattr(v, 'numpy') else v)
 
     sd = _translate_detr_keys(sd)
+    sd = _translate_ssd_vgg_keys(sd)
 
     # per-level torch Scale modules (fcos/atss/gfl/vfnet heads:
     # `scales.{i}.scale` scalar each) → our single (L,) 'scales' vector

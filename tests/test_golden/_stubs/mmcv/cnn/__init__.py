@@ -241,14 +241,43 @@ class DepthwiseSeparableConvModule(nn.Module):
 
 
 class VGG(nn.Module):
-    """Import-time placeholder for mmcv.cnn.VGG (SSD backbone base).
+    """Pure-torch mmcv.cnn.VGG (plain conv/relu/maxpool Sequential with
+    mmcv's stage arch and layer indexing; with_bn unsupported). Only
+    the pieces SSDVGG consumes: ``self.features`` and the ceil_mode /
+    with_last_pool / dilation knobs."""
 
-    Raises on instantiation; SSDVGG in swindet is built natively, and
-    golden tests don't exercise the reference SSD path."""
+    arch_settings = {11: (1, 1, 2, 2, 2), 13: (2, 2, 2, 2, 2),
+                     16: (2, 2, 3, 3, 3), 19: (2, 2, 4, 4, 4)}
 
-    def __init__(self, *args, **kwargs):
+    def __init__(self, depth, with_bn=False, num_classes=-1,
+                 num_stages=5, dilations=(1, 1, 1, 1, 1),
+                 out_indices=(0, 1, 2, 3, 4), frozen_stages=-1,
+                 bn_eval=True, bn_frozen=False, ceil_mode=False,
+                 with_last_pool=True):
         super().__init__()
-        raise NotImplementedError('VGG shim is import-only')
+        assert not with_bn, 'stub VGG supports with_bn=False only'
+        blocks = self.arch_settings[depth][:num_stages]
+        layers = []
+        in_c, out_c = 3, 64
+        for si, n in enumerate(blocks):
+            d = dilations[si]
+            for _ in range(n):
+                layers.append(nn.Conv2d(in_c, out_c, 3, padding=d,
+                                        dilation=d))
+                layers.append(nn.ReLU(inplace=True))
+                in_c = out_c
+            layers.append(nn.MaxPool2d(2, 2, ceil_mode=ceil_mode))
+            out_c = min(out_c * 2, 512)
+        if not with_last_pool:
+            layers.pop()
+        self.features = nn.Sequential(*layers)
+        self.out_indices = out_indices
+
+    def forward(self, x):
+        outs = []
+        for i, layer in enumerate(self.features):
+            x = layer(x)
+        return x
 
 
 from . import bricks  # noqa: E402
