@@ -200,6 +200,43 @@ def _translate_ssd_vgg_keys(sd: Dict[str, np.ndarray]
     return out
 
 
+def _translate_sparse_rcnn_keys(sd: Dict[str, np.ndarray]
+                                ) -> Dict[str, np.ndarray]:
+    """Rewrite reference Sparse R-CNN keys (roi_heads/bbox_heads/
+    dii_head.py + dense_heads/embedding_rpn_head.py) into this
+    framework's naming (models/roi_heads/sparse_roi_head.py): packed
+    attention in_proj split to q/k/v, FFN layer renames, cls/reg tower
+    Linear/LN flattening, Embedding '.weight' drop. No-op without a
+    DIIHead dynamic_layer key."""
+    if not any('instance_interactive_conv.dynamic_layer' in k
+               for k in sd):
+        return sd
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        m = re.match(r'^(.*attention)\.attn\.in_proj_(weight|bias)$', k)
+        if m:
+            d = v.shape[0] // 3
+            for j, p in enumerate(('q_proj', 'k_proj', 'v_proj')):
+                out[f'{m.group(1)}.{p}.{m.group(2)}'] = \
+                    v[j * d:(j + 1) * d]
+            continue
+        k2 = re.sub(r'(\.attention)\.attn\.out_proj\.', r'\1.out_proj.',
+                    k)
+        k2 = k2.replace('instance_interactive_conv_norm.', 'iic_norm.')
+        k2 = re.sub(r'\.ffn\.layers\.0\.0\.', '.ffn.fc0.', k2)
+        k2 = re.sub(r'\.ffn\.layers\.1\.', '.ffn.fc1.', k2)
+        m = re.match(r'^(.*\.)(cls|reg)_fcs\.(\d+)\.(weight|bias)$', k2)
+        if m:
+            idx = int(m.group(3))
+            kind = 'fc' if idx % 3 == 0 else 'ln'
+            k2 = (f'{m.group(1)}{m.group(2)}_{kind}{idx // 3}'
+                  f'.{m.group(4)}')
+        k2 = re.sub(r'(init_proposal_(?:bboxes|features))\.weight$',
+                    r'\1', k2)
+        out[k2] = v
+    return out
+
+
 def convert_torch_state_dict(
         state_dict: Dict[str, Any],
         params: Dict,
@@ -222,6 +259,7 @@ def convert_torch_state_dict(
 
     sd = _translate_detr_keys(sd)
     sd = _translate_ssd_vgg_keys(sd)
+    sd = _translate_sparse_rcnn_keys(sd)
 
     # per-level torch Scale modules (fcos/atss/gfl/vfnet heads:
     # `scales.{i}.scale` scalar each) → our single (L,) 'scales' vector
