@@ -22,7 +22,9 @@ class SamplingResult(NamedTuple):
     """Fixed-size sample of ``num`` candidate slots.
 
     inds: (num,) int32 — index into the candidate set (gt-prepended when
-        add_gt_as_proposals); arbitrary where ``valid`` is False.
+        add_gt_as_proposals); distinct OUT-OF-RANGE values (>= candidate
+        count) where ``valid`` is False, so scatters drop filler slots
+        and gathers clamp.
     valid: (num,) bool
     is_pos: (num,) bool
     bboxes: (num, 4) gathered candidate boxes
@@ -43,13 +45,23 @@ class SamplingResult(NamedTuple):
 
 
 def _ranked_select(mask: jnp.ndarray, keys: jnp.ndarray,
-                   expected: jnp.ndarray) -> jnp.ndarray:
-    """Select up to ``expected`` True entries of ``mask`` uniformly at
-    random (rank by random key; static shapes)."""
+                   expected: jnp.ndarray, cap: int):
+    """Select up to ``expected`` True entries of ``mask`` by descending
+    key (static shapes). ``cap`` is a static upper bound on ``expected``
+    (the sampler's slot count): selection = top-``cap`` by key, keep the
+    first ``expected``. Ties break by lower index — identical to the
+    rank-by-double-argsort formulation, but top-k of a small static k
+    beats two full-set sorts on the RPN-sized (≈270k) anchor sets.
+
+    Returns (sel_mask (n,), top_idx (cap,), taken (cap,)) — the latter
+    two let the caller pack slots without another full-set top-k.
+    """
     score = jnp.where(mask, keys, -jnp.inf)
-    order = jnp.argsort(-score)                 # candidates first
-    rank = jnp.argsort(order)                   # rank of each entry
-    return mask & (rank < expected)
+    cap = min(cap, mask.shape[0])
+    _, top_idx = jax.lax.top_k(score, cap)
+    taken = (jnp.arange(cap) < expected) & jnp.take(mask, top_idx)
+    sel = jnp.zeros(mask.shape, bool).at[top_idx].set(taken)
+    return sel, top_idx.astype(jnp.int32), taken
 
 
 @BBOX_SAMPLERS.register_module()
@@ -116,23 +128,38 @@ class RandomSampler:
             keys_neg = self._neg_keys(k_neg, assign_result, neg_mask, n)
 
         num_expected_pos = int(self.num * self.pos_fraction)
-        sel_pos = _ranked_select(pos_mask, keys_pos, num_expected_pos)
+        sel_pos, pos_idx, pos_taken = _ranked_select(
+            pos_mask, keys_pos, num_expected_pos, self.num)
         num_pos = jnp.sum(sel_pos).astype(jnp.int32)
 
         num_expected_neg = self.num - num_pos
         if self.neg_pos_ub >= 0:
             neg_ub = jnp.maximum(1, num_pos) * self.neg_pos_ub
             num_expected_neg = jnp.minimum(num_expected_neg, neg_ub)
-        sel_neg = _ranked_select(neg_mask, keys_neg, num_expected_neg)
+        sel_neg, neg_idx, neg_taken = _ranked_select(
+            neg_mask, keys_neg, num_expected_neg, self.num)
         num_neg = jnp.sum(sel_neg).astype(jnp.int32)
 
         # Pack selected entries into `num` fixed slots, positives first.
-        pack = jnp.where(sel_pos, 3.0, jnp.where(sel_neg, 2.0, 0.0))
-        pack = pack + jax.random.uniform(k_tie, (n,))  # stable-ish shuffle
-        _, inds = jax.lax.top_k(pack, self.num)
-        inds = inds.astype(jnp.int32)
-        slot_sel_pos = jnp.take(sel_pos, inds)
-        slot_sel_neg = jnp.take(sel_neg, inds)
+        # Every selected entry lives in pos_idx ∪ neg_idx (≤ 2·num
+        # candidates), so the pack top-k runs on that small union, not
+        # the full candidate set; tie noise is gathered from a full-set
+        # uniform draw so slot order matches the key stream.
+        cand_idx = jnp.concatenate([pos_idx, neg_idx])
+        flags = jnp.concatenate([jnp.where(pos_taken, 3.0, 0.0),
+                                 jnp.where(neg_taken, 2.0, 0.0)])
+        noise = jax.random.uniform(k_tie, (n,))  # stable-ish shuffle
+        pack = flags + jnp.take(noise, cand_idx)
+        _, slot = jax.lax.top_k(pack, self.num)
+        slot_taken = jnp.take(jnp.concatenate([pos_taken, neg_taken]), slot)
+        # Invalid slots get distinct OUT-OF-RANGE indices (n + slot):
+        # target-scatter consumers drop them (mode='drop'), gathers clamp.
+        # In-range fillers could duplicate a selected index and clobber
+        # its scattered target (the per-class top-k unions overlap).
+        inds = jnp.where(slot_taken, jnp.take(cand_idx, slot),
+                         n + slot).astype(jnp.int32)
+        slot_sel_pos = slot_taken & (slot < pos_idx.shape[0])
+        slot_sel_neg = slot_taken & (slot >= pos_idx.shape[0])
         valid = slot_sel_pos | slot_sel_neg
 
         sampled_boxes = jnp.take(cand_boxes, inds, axis=0)

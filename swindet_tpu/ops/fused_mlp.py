@@ -25,13 +25,37 @@ from jax.experimental.pallas import tpu as pltpu
 _SQRT_HALF = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
 
+# Mosaic has no `erf` primitive (KernelType.TC) — evaluate XLA's own f32
+# rational approximation in-kernel instead (ErfImpl32,
+# xla/hlo/builder/lib/math.cc: x·P(x²)/Q(x²) on x clamped to
+# ±erfinv(1−2⁻²³)), so numerics match the XLA lowering of lax.erf.
+_ERF_ALPHA = (0.00022905065861350646, 0.0034082910107109506,
+              0.050955695062380861, 0.18520832239976145,
+              1.128379143519084)
+_ERF_BETA = (-1.1791602954361697e-7, 0.000023547966471313185,
+             0.0010179625278914885, 0.014070470171167667,
+             0.11098505178285362, 0.49746925110067538, 1.0)
+_ERF_CLAMP = 3.832506856900711
+
+
+def _erf(x):
+    x = jnp.clip(x, -_ERF_CLAMP, _ERF_CLAMP)
+    x2 = x * x
+    p = jnp.float32(_ERF_ALPHA[0])
+    for c in _ERF_ALPHA[1:]:
+        p = p * x2 + jnp.float32(c)
+    q = jnp.float32(_ERF_BETA[0])
+    for c in _ERF_BETA[1:]:
+        q = q * x2 + jnp.float32(c)
+    return (x * p) / q
+
 
 def _gelu(h):
-    return 0.5 * h * (1.0 + jax.lax.erf(h * _SQRT_HALF))
+    return 0.5 * h * (1.0 + _erf(h * _SQRT_HALF))
 
 
 def _gelu_grad(h):
-    cdf = 0.5 * (1.0 + jax.lax.erf(h * _SQRT_HALF))
+    cdf = 0.5 * (1.0 + _erf(h * _SQRT_HALF))
     pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * h * h)
     return cdf + h * pdf
 

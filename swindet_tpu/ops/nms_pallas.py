@@ -50,9 +50,9 @@ def _kernel(boxes_ref, scores_ref, valid_ref, order_ref,
         cnt_out_ref[...] = jnp.zeros_like(cnt_out_ref)
 
     tb = boxes_ref[...].astype(jnp.float32)          # (T, 4)
-    ts = scores_ref[0].astype(jnp.float32)           # (T,)
-    tv = valid_ref[0] > 0                            # (T,)
-    to = order_ref[0]                                # (T,) int32
+    ts = scores_ref[0, 0].astype(jnp.float32)        # (T,)
+    tv = valid_ref[0, 0] > 0                         # (T,)
+    to = order_ref[0, 0]                             # (T,) int32
     cnt = cnt_ref[0]
 
     buf = buf_ref[...]                               # (max_out, 4)
@@ -128,9 +128,13 @@ def nms_pallas_sorted(boxes_s: jnp.ndarray, score_s: jnp.ndarray,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((TILE, 4), lambda i: (i, 0)),
-            pl.BlockSpec((1, TILE), lambda i: (i, 0)),
-            pl.BlockSpec((1, TILE), lambda i: (i, 0)),
-            pl.BlockSpec((1, TILE), lambda i: (i, 0)),
+            # tile vectors carried as (tiles, 1, T): Mosaic requires the
+            # block's last-two dims be (mult-of-8 | full, mult-of-128 |
+            # full) — (1=full, 128) qualifies, (1, 128) over (tiles, 128)
+            # does not.
+            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((max_out, 5), lambda i: (0, 0)),
@@ -148,7 +152,7 @@ def nms_pallas_sorted(boxes_s: jnp.ndarray, score_s: jnp.ndarray,
         ],
         interpret=interpret,
     )(boxes_s.astype(jnp.float32),
-      score_s.reshape(num_tiles, TILE).astype(jnp.float32),
-      valid_s.reshape(num_tiles, TILE).astype(jnp.int32),
-      order.reshape(num_tiles, TILE).astype(jnp.int32))
+      score_s.reshape(num_tiles, 1, TILE).astype(jnp.float32),
+      valid_s.reshape(num_tiles, 1, TILE).astype(jnp.int32),
+      order.reshape(num_tiles, 1, TILE).astype(jnp.int32))
     return dets, inds[0], cnt[0, 0]

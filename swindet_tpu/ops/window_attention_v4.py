@@ -42,10 +42,32 @@ def _pick_wblk(n_windows: int, num_heads: int, cap_product: int
     return 1
 
 
-def _rows(x):
-    """(W, N, C) → (W*N, C) for a single MXU matmul."""
-    w, n, c = x.shape
-    return x.reshape(w * n, c)
+# Mosaic cannot reshape (W, N, C) <-> (W*N, C) when N is sublane-
+# unaligned (N=49), so every matmul stays 3-D: projections are
+# rank3×rank2 dot_generals (verified supported on Mosaic), weight-grad
+# contractions unroll over the ≤wblk windows as 2-D transpose-matmuls.
+def _x_proj(x3, w2, dim=0):
+    """(W, N, A) @ (A, B) → (W, N, B) without flattening windows."""
+    return jax.lax.dot_general(
+        x3, w2, dimension_numbers=(((2,), (dim,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _acc_weight_grad(a3, b3):
+    """Σ_w a3[w]ᵀ · b3[w] — (W, N, A), (W, N, B) → (A, B)."""
+    acc = jax.lax.dot_general(
+        a3[0], b3[0], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    for w in range(1, a3.shape[0]):
+        acc = acc + jax.lax.dot_general(
+            a3[w], b3[w], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return acc
+
+
+def _sum_rows(x3):
+    """(W, N, C) → (1, C) sum over windows and tokens."""
+    return jnp.sum(jnp.sum(x3, axis=0), axis=0, keepdims=True)
 
 
 # ------------------------------------------------------------------ fwd
@@ -54,11 +76,9 @@ def _wattn4_kernel(x_ref, wqkv_ref, bqkv_ref, bias_ref, mask_ref,
                    scale: float):
     wblk, n, c = x_ref.shape
     hd = c // nh
-    x32 = _rows(x_ref[:]).astype(jnp.float32)
-    qkv = jax.lax.dot(x32, wqkv_ref[:].astype(jnp.float32),
-                      preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)[None]) \
-        .reshape(wblk, n, 3 * c)
+    x32 = x_ref[:].astype(jnp.float32)                  # (wblk, N, C)
+    qkv = _x_proj(x32, wqkv_ref[:].astype(jnp.float32))
+    qkv = qkv + bqkv_ref[:].astype(jnp.float32)[None]   # (wblk, N, 3C)
     mask = mask_ref[:]
     heads = []
     for h in range(nh):
@@ -74,11 +94,9 @@ def _wattn4_kernel(x_ref, wqkv_ref, bqkv_ref, bias_ref, mask_ref,
             attn, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32))
     attn_out = jnp.concatenate(heads, axis=-1)         # (wblk, N, C)
-    out = jax.lax.dot(_rows(attn_out),
-                      wproj_ref[:].astype(jnp.float32),
-                      preferred_element_type=jnp.float32)
-    out = out + bproj_ref[0].astype(jnp.float32)[None]
-    out_ref[:] = out.reshape(wblk, n, c).astype(out_ref.dtype)
+    out = _x_proj(attn_out, wproj_ref[:].astype(jnp.float32))
+    out = out + bproj_ref[:].astype(jnp.float32)[None]
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('num_heads', 'interpret'))
@@ -138,13 +156,12 @@ def _wattn4_bwd_kernel(x_ref, wqkv_ref, bqkv_ref, bias_ref, mask_ref,
         dbproj_ref[:] = jnp.zeros_like(dbproj_ref)
 
     # ---- recompute forward intermediates
-    x32 = _rows(x_ref[:]).astype(jnp.float32)          # (W*N, C)
+    x32 = x_ref[:].astype(jnp.float32)                 # (wblk, N, C)
     wqkv = wqkv_ref[:].astype(jnp.float32)
-    qkv = jax.lax.dot(x32, wqkv, preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)[None]) \
-        .reshape(wblk, n, 3 * c)
+    qkv = _x_proj(x32, wqkv)
+    qkv = qkv + bqkv_ref[:].astype(jnp.float32)[None]  # (wblk, N, 3C)
     mask = mask_ref[:]
-    g = _rows(g_ref[:]).astype(jnp.float32)            # (W*N, C)
+    g = g_ref[:].astype(jnp.float32)                   # (wblk, N, C)
     wproj = wproj_ref[:].astype(jnp.float32)
 
     # ---- proj backward
@@ -164,13 +181,9 @@ def _wattn4_bwd_kernel(x_ref, wqkv_ref, bqkv_ref, bias_ref, mask_ref,
             preferred_element_type=jnp.float32))
     attn_out = jnp.concatenate(heads, axis=-1)         # (wblk, N, C)
 
-    dwproj_ref[:] += jax.lax.dot_general(
-        _rows(attn_out), g, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # (C, C)
-    dbproj_ref[:] += jnp.sum(g, axis=0, keepdims=True)
-    d_attn = jax.lax.dot_general(
-        g, wproj, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).reshape(wblk, n, c)
+    dwproj_ref[:] += _acc_weight_grad(attn_out, g)     # (C, C)
+    dbproj_ref[:] += _sum_rows(g)
+    d_attn = _x_proj(g, wproj, dim=1)                  # (wblk, N, C)
 
     # ---- attention backward per head (flash recompute)
     dqkv_parts = [None] * (3 * nh)
@@ -198,17 +211,12 @@ def _wattn4_bwd_kernel(x_ref, wqkv_ref, bqkv_ref, bias_ref, mask_ref,
         dqkv_parts[nh + h] = dk
         dqkv_parts[2 * nh + h] = dv
     dqkv = jnp.concatenate(dqkv_parts, axis=-1)        # (wblk, N, 3C)
-    dqkv_rows = _rows(dqkv)
 
     # ---- qkv-projection backward
-    dwqkv_ref[:] += jax.lax.dot_general(
-        x32, dqkv_rows, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # (C, 3C)
-    dbqkv_ref[:] += jnp.sum(dqkv_rows, axis=0, keepdims=True)
-    dx = jax.lax.dot_general(
-        dqkv_rows, wqkv, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dx_ref[:] = dx.reshape(wblk, n, c).astype(dx_ref.dtype)
+    dwqkv_ref[:] += _acc_weight_grad(x32, dqkv)        # (C, 3C)
+    dbqkv_ref[:] += _sum_rows(dqkv)
+    dx = _x_proj(dqkv, wqkv, dim=1)                    # (wblk, N, C)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('num_heads', 'interpret'))
