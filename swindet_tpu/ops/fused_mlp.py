@@ -61,10 +61,17 @@ def _gelu_grad(h):
 
 
 def _pick_rows(n_rows: int, cap: int = 512) -> int:
-    for r in range(min(cap, n_rows), 0, -1):
+    """Largest multiple-of-8 divisor of ``n_rows`` ≤ cap.
+
+    Mosaic requires the second-to-last block dim be a multiple of 8
+    (sublane) unless it equals the array dim; callers pre-pad
+    ``n_rows`` to a multiple of 8 so a valid block always exists.
+    """
+    best = min(8, n_rows)
+    for r in range(8, min(cap, n_rows) + 1, 8):
         if n_rows % r == 0:
-            return r
-    return 1
+            best = r
+    return best
 
 
 # ------------------------------------------------------------------ fwd
@@ -188,10 +195,17 @@ def fused_mlp(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     x: (..., C); weights in flax Dense layout. Differentiable.
     """
     lead = x.shape[:-1]
-    out = _fused_mlp_vjp(x.reshape(-1, x.shape[-1]),
+    xf = x.reshape(-1, x.shape[-1])
+    r = xf.shape[0]
+    r8 = -(-r // 8) * 8  # pad rows to the Mosaic sublane multiple;
+    if r8 != r:          # zero rows contribute zero to every grad.
+        xf = jnp.pad(xf, ((0, r8 - r), (0, 0)))
+    out = _fused_mlp_vjp(xf,
                          w1.astype(x.dtype), b1.astype(jnp.float32),
                          w2.astype(x.dtype), b2.astype(jnp.float32),
                          interpret)
+    if r8 != r:
+        out = out[:r]
     return out.reshape(lead + (w2.shape[1],))
 
 

@@ -37,7 +37,7 @@ TILE = 128
 
 def _kernel(boxes_ref, scores_ref, valid_ref, order_ref,
             dets_ref, inds_ref, cnt_out_ref,
-            buf_ref, cnt_ref,
+            buf_ref, cnt_ref, iou_scr,
             *, iou_thr: float, max_out: int, num_tiles: int):
     i = pl.program_id(0)
 
@@ -49,68 +49,89 @@ def _kernel(boxes_ref, scores_ref, valid_ref, order_ref,
         inds_ref[...] = jnp.zeros_like(inds_ref)
         cnt_out_ref[...] = jnp.zeros_like(cnt_out_ref)
 
+    # Everything below stays rank-2 with strided slices / transposes
+    # only — integer or newaxis indexing lowers to lax.gather, which
+    # Mosaic rejects for these shapes.
     tb = boxes_ref[...].astype(jnp.float32)          # (T, 4)
-    ts = scores_ref[0, 0].astype(jnp.float32)        # (T,)
-    tv = valid_ref[0, 0] > 0                         # (T,)
-    to = order_ref[0, 0]                             # (T,) int32
+    tbT = jnp.transpose(tb)                          # (4, T)
+    ts = scores_ref[0].astype(jnp.float32)           # (1, T)
+    tv = valid_ref[0] > 0                            # (1, T)
+    to = order_ref[0]                                # (1, T) int32
     cnt = cnt_ref[0]
 
     buf = buf_ref[...]                               # (max_out, 4)
     # ---- IoU of the tile vs the kept buffer (max_out, T)
-    area_b = jnp.maximum(buf[:, 2] - buf[:, 0], 0) * \
-        jnp.maximum(buf[:, 3] - buf[:, 1], 0)
-    area_t = jnp.maximum(tb[:, 2] - tb[:, 0], 0) * \
-        jnp.maximum(tb[:, 3] - tb[:, 1], 0)
-    lt_x = jnp.maximum(buf[:, None, 0], tb[None, :, 0])
-    lt_y = jnp.maximum(buf[:, None, 1], tb[None, :, 1])
-    rb_x = jnp.minimum(buf[:, None, 2], tb[None, :, 2])
-    rb_y = jnp.minimum(buf[:, None, 3], tb[None, :, 3])
+    area_b = jnp.maximum(buf[:, 2:3] - buf[:, 0:1], 0) * \
+        jnp.maximum(buf[:, 3:4] - buf[:, 1:2], 0)    # (max_out, 1)
+    area_t = jnp.maximum(tbT[2:3] - tbT[0:1], 0) * \
+        jnp.maximum(tbT[3:4] - tbT[1:2], 0)          # (1, T)
+    lt_x = jnp.maximum(buf[:, 0:1], tbT[0:1])
+    lt_y = jnp.maximum(buf[:, 1:2], tbT[1:2])
+    rb_x = jnp.minimum(buf[:, 2:3], tbT[2:3])
+    rb_y = jnp.minimum(buf[:, 3:4], tbT[3:4])
     inter = jnp.maximum(rb_x - lt_x, 0) * jnp.maximum(rb_y - lt_y, 0)
-    union = area_b[:, None] + area_t[None, :] - inter
+    union = area_b + area_t - inter
     iou_x = inter / jnp.maximum(union, 1e-10)
     # 2-D iotas (Mosaic requires rank >= 2)
     buf_alive = jax.lax.broadcasted_iota(
-        jnp.int32, (max_out, 1), 0)[:, 0] < cnt
-    sup = jnp.any((iou_x > iou_thr) & buf_alive[:, None], axis=0)
-    alive = tv & ~sup
+        jnp.int32, (max_out, 1), 0) < cnt            # (max_out, 1)
+    sup = jnp.any((iou_x > iou_thr) & buf_alive, axis=0,
+                  keepdims=True)                     # (1, T)
+    alive = tv & ~sup                                # (1, T)
 
     # ---- exact within-tile sequential suppression
-    lt_x = jnp.maximum(tb[:, None, 0], tb[None, :, 0])
-    lt_y = jnp.maximum(tb[:, None, 1], tb[None, :, 1])
-    rb_x = jnp.minimum(tb[:, None, 2], tb[None, :, 2])
-    rb_y = jnp.minimum(tb[:, None, 3], tb[None, :, 3])
+    lt_x = jnp.maximum(tb[:, 0:1], tbT[0:1])
+    lt_y = jnp.maximum(tb[:, 1:2], tbT[1:2])
+    rb_x = jnp.minimum(tb[:, 2:3], tbT[2:3])
+    rb_y = jnp.minimum(tb[:, 3:4], tbT[3:4])
     inter = jnp.maximum(rb_x - lt_x, 0) * jnp.maximum(rb_y - lt_y, 0)
-    union = area_t[:, None] + area_t[None, :] - inter
-    iou_s = inter / jnp.maximum(union, 1e-10)        # (T, T)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)[0]
+    union = jnp.transpose(area_t) + area_t - inter
+    # Mosaic has no dynamic_slice on register values — stage the IoU
+    # matrix in VMEM scratch and row-index the ref with pl.ds instead.
+    iou_scr[...] = inter / jnp.maximum(union, 1e-10)  # (T, T)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
 
     def row(r, al):
-        arow = jax.lax.dynamic_slice(iou_s, (r, 0), (1, TILE))[0]
-        ar = jnp.sum(jnp.where(col == r, al, False))  # alive[r] as scalar
-        kill = (arow > iou_thr) & (col > r) & (ar > 0)
-        return al & ~kill
+        # al is the alive mask carried as int32 — i1 vectors as loop
+        # carriers fail Mosaic's scf.for legalization
+        arow = iou_scr[pl.ds(r, 1), :]               # (1, T)
+        ar = jnp.sum(al * (col == r).astype(jnp.int32))
+        kill = ((arow > iou_thr) & (col > r)).astype(jnp.int32) \
+            * jnp.minimum(ar, 1)
+        return al * (1 - kill)
 
-    alive = jax.lax.fori_loop(0, TILE, row, alive)
+    alive = jax.lax.fori_loop(0, TILE, row,
+                              alive.astype(jnp.int32)) > 0
 
     # ---- append survivors via one-hot matmuls (no scatters)
-    pos = cnt + jnp.cumsum(alive.astype(jnp.int32)) - 1
-    pos = jnp.where(alive, pos, -1)
+    # cumsum has no Mosaic lowering — inclusive prefix sum as a matmul
+    # against a lower-triangular ones matrix (MXU).
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0) <=
+           jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1))
+    csum = jax.lax.dot(alive.astype(jnp.float32),
+                       tri.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST)
+    pos = cnt + csum.astype(jnp.int32) - 1
+    pos = jnp.where(alive, pos, -1)                  # (1, T)
     rows = jax.lax.broadcasted_iota(jnp.int32, (max_out, TILE), 0)
-    sel = (rows == pos[None, :]).astype(jnp.float32)  # (max_out, T)
+    sel = (rows == pos).astype(jnp.float32)          # (max_out, T)
     buf_ref[...] = buf + jax.lax.dot(
         sel, tb, precision=jax.lax.Precision.HIGHEST)
+    ts_col = jnp.transpose(jnp.where(alive, ts, 0.0))  # (T, 1)
     dets_ref[...] += jnp.concatenate(
         [jax.lax.dot(sel, tb, precision=jax.lax.Precision.HIGHEST),
-         jax.lax.dot(sel, jnp.where(alive, ts, 0.0)[:, None],
+         jax.lax.dot(sel, ts_col,
                      precision=jax.lax.Precision.HIGHEST)], axis=-1)
-    inds_ref[...] += jnp.sum(
-        sel.astype(jnp.int32) * to[None, :], axis=1)[None, :]
+    inds_ref[...] += jnp.sum(sel.astype(jnp.int32) * to, axis=1,
+                             keepdims=True)          # (max_out, 1)
     cnt = cnt + jnp.sum(alive.astype(jnp.int32))
     cnt_ref[0] = cnt
 
     @pl.when(i == num_tiles - 1)
     def _fin():
-        cnt_out_ref[0, 0] = jnp.minimum(cnt, max_out)
+        # scalar stores to VMEM are rejected — write a (1,1) vector
+        cnt_out_ref[...] = jnp.full((1, 1), 0, jnp.int32) + \
+            jnp.minimum(cnt, max_out)
 
 
 def nms_pallas_sorted(boxes_s: jnp.ndarray, score_s: jnp.ndarray,
@@ -138,21 +159,22 @@ def nms_pallas_sorted(boxes_s: jnp.ndarray, score_s: jnp.ndarray,
         ],
         out_specs=[
             pl.BlockSpec((max_out, 5), lambda i: (0, 0)),
-            pl.BlockSpec((1, max_out), lambda i: (0, 0)),
+            pl.BlockSpec((max_out, 1), lambda i: (0, 0)),
             pl.BlockSpec((1, 1), lambda i: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((max_out, 5), jnp.float32),
-            jax.ShapeDtypeStruct((1, max_out), jnp.int32),
+            jax.ShapeDtypeStruct((max_out, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((max_out, 4), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((TILE, TILE), jnp.float32),
         ],
         interpret=interpret,
     )(boxes_s.astype(jnp.float32),
       score_s.reshape(num_tiles, 1, TILE).astype(jnp.float32),
       valid_s.reshape(num_tiles, 1, TILE).astype(jnp.int32),
       order.reshape(num_tiles, 1, TILE).astype(jnp.int32))
-    return dets, inds[0], cnt[0, 0]
+    return dets, inds[:, 0], cnt[0, 0]
