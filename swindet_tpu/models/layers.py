@@ -91,8 +91,13 @@ class Mlp(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         # fused fc1→gelu→fc2 (opt-in): the (tokens, hidden) activation
         # never leaves VMEM (ops/fused_mlp.py)
+        # Width guard: the kernel's backward accumulates dW1+dW2 in f32
+        # VMEM (2·C·4C·4 bytes); C=768 (Swin stage 4) needs 18.9 MB and
+        # trips the 16 MB scoped-vmem stack limit, so wide layers keep
+        # the XLA lowering.
         if (os.environ.get('SWINDET_FUSED_MLP') == '1'
-                and self.drop == 0.0):
+                and self.drop == 0.0
+                and 2 * x.shape[-1] * self.hidden_features * 4 <= 12 * 2**20):
             c = x.shape[-1]
             w1, b1 = DenseParams(c, self.hidden_features,
                                  name='fc1')()
