@@ -38,6 +38,8 @@ _NAME_MAP = {
     '_roi_head': 'roi_head',
     '_bbox_head': 'bbox_head',
     '_mask_head': 'mask_head',
+    '_bbox_extractor': 'bbox_roi_extractor',
+    '_mask_extractor': 'mask_roi_extractor',
 }
 _INDEXED = re.compile(
     r'^(layers|blocks|lateral_convs|fpn_convs|shared_convs|shared_fcs|'
@@ -237,6 +239,32 @@ def _translate_sparse_rcnn_keys(sd: Dict[str, np.ndarray]
     return out
 
 
+def _translate_dpool_keys(sd: Dict[str, np.ndarray]
+                          ) -> Dict[str, np.ndarray]:
+    """Rewrite mmcv DeformRoIPoolPack keys (one pack per FPN level,
+    ``roi_layers.{l}.{offset|mask}_fc.{i}``, Sequential indices 0/2/4 =
+    Linear layers) into this framework's flat per-level names
+    (models/roi_heads/roi_extractor.py DeformRoIExtractor:
+    ``roi_layers{l}_{offset|mask}_{fc1|fc2|out}``). No-op without an
+    offset_fc key."""
+    if not any('.offset_fc.' in k for k in sd):
+        return sd
+    seq_map = {'offset': {0: 'fc1', 2: 'fc2', 4: 'out'},
+               'mask': {0: 'fc1', 2: 'out'}}
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        m = re.match(
+            r'^(.*roi_layers)\.(\d+)\.(offset|mask)_fc\.(\d+)\.'
+            r'(weight|bias)$', k)
+        if m:
+            part = seq_map[m.group(3)].get(int(m.group(4)))
+            if part is not None:
+                k = (f'{m.group(1)}{m.group(2)}_{m.group(3)}_{part}'
+                     f'.{m.group(5)}')
+        out[k] = v
+    return out
+
+
 def convert_torch_state_dict(
         state_dict: Dict[str, Any],
         params: Dict,
@@ -260,6 +288,7 @@ def convert_torch_state_dict(
     sd = _translate_detr_keys(sd)
     sd = _translate_ssd_vgg_keys(sd)
     sd = _translate_sparse_rcnn_keys(sd)
+    sd = _translate_dpool_keys(sd)
 
     # per-level torch Scale modules (fcos/atss/gfl/vfnet heads:
     # `scales.{i}.scale` scalar each) → our single (L,) 'scales' vector
@@ -278,8 +307,13 @@ def convert_torch_state_dict(
     flat_params = _flatten(params)
     expects_backbone = any(p[0] == '_backbone' for p in flat_params)
     has_backbone_pref = any(k.startswith('backbone.') for k in sd)
+    _top = ('neck.', 'rpn_head.', 'roi_head.', 'bbox_head.',
+            'mask_head.', 'query_embedding.')
     if expects_backbone and not has_backbone_pref:
-        sd = {f'backbone.{k}': v for k, v in sd.items()}
+        # classification-pretrain checkpoints carry bare backbone keys;
+        # leave detector-part keys (if any) untouched
+        sd = {k if k.startswith(_top) else f'backbone.{k}': v
+              for k, v in sd.items()}
 
     used = set()
     missing: List[str] = []

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as _nn
 
@@ -98,10 +99,18 @@ class DeformRoIExtractor(_nn.Module):
     FC branch (deform_fc_channels wide, zero-init output) predicting a
     per-bin (dx, dy) offset; the second pass samples at the deformed
     bins. The modulated variant adds a sigmoid mask branch (zero-init →
-    0.5) multiplying the pooled features. FC flatten order is NHWC
-    (ours) rather than NCHW (torch) — the branch is trained from
-    scratch in both frameworks (zero-init output), so no checkpoint
-    layout conversion issue arises.
+    0.5) multiplying the pooled features. Parity with mmcv:
+
+    - one pack (own FC weights) PER pyramid level, as in torch's
+      ``roi_layers`` ModuleList — each roi uses the pack of the level
+      it routes to. Every pack runs on every roi (stacked GEMMs) and a
+      level one-hot selects the result: static shapes, exact semantics.
+    - offset_fc has TWO hidden Linears, mask_fc has ONE
+      (mmcv deform_roi_pool.py Sequential layouts).
+    - FC input flattened in torch's NCHW order so converted ``.pth``
+      fc weights line up row-for-row (only the OUTPUT layers are
+      zero-init; fc1/fc2 carry trained weights in released dpool
+      checkpoints). Converter: ``_translate_dpool_keys``.
     """
     roi_layer: dict
     out_channels: int
@@ -130,17 +139,30 @@ class DeformRoIExtractor(_nn.Module):
             feats, rois, self.featmap_strides, out_size, sr,
             self.finest_scale, roi_valid=roi_valid)
         n_rois = rois.shape[0]
-        flat = base.reshape(n_rois, -1)
+        # NCHW flatten (torch nn.Linear sees C·H·W rows) for .pth parity
+        flat = jnp.moveaxis(base, -1, 1).reshape(n_rois, -1)
 
-        def branch(name, out_dim):
-            h = _nn.relu(_nn.Dense(fcc, kernel_init=normal_init(0.01),
-                                   name=f'{name}_fc1')(flat))
-            h = _nn.relu(_nn.Dense(fcc, kernel_init=normal_init(0.01),
-                                   name=f'{name}_fc2')(h))
-            return _nn.Dense(out_dim, kernel_init=_nn.initializers.zeros,
-                             name=f'{name}_out')(h)
+        from ...ops.roi_align import map_roi_levels
+        lvl = map_roi_levels(rois, self.num_inputs, self.finest_scale)
+        lvl_onehot = jax.nn.one_hot(lvl, self.num_inputs)  # (R, L)
 
-        off = branch('offset', out_size * out_size * 2)
+        def branch(name, out_dim, hidden):
+            # One pack per level (torch roi_layers.{l}.{name}_fc.*);
+            # all packs run on all rois, the roi's level picks one.
+            per_level = []
+            for li in range(self.num_inputs):
+                h = flat
+                for k in range(hidden):
+                    h = _nn.relu(_nn.Dense(
+                        fcc, kernel_init=normal_init(0.01),
+                        name=f'roi_layers{li}_{name}_fc{k + 1}')(h))
+                per_level.append(_nn.Dense(
+                    out_dim, kernel_init=_nn.initializers.zeros,
+                    name=f'roi_layers{li}_{name}_out')(h))
+            stacked = jnp.stack(per_level)                 # (L, R, D)
+            return jnp.einsum('rl,lrd->rd', lvl_onehot, stacked)
+
+        off = branch('offset', out_size * out_size * 2, hidden=2)
         # mmcv layout (R, 2, H, W): first H*W block = dx, second = dy
         off = off.reshape(n_rois, 2, out_size, out_size)
         off = jnp.moveaxis(off, 1, -1)                     # (R, H, W, 2)
@@ -148,7 +170,7 @@ class DeformRoIExtractor(_nn.Module):
             feats, rois, off, self.featmap_strides, out_size, sr,
             gamma, self.finest_scale, roi_valid=roi_valid)
         if modulated:
-            m = _nn.sigmoid(branch('mask', out_size * out_size))
+            m = _nn.sigmoid(branch('mask', out_size * out_size, hidden=1))
             out = out * m.reshape(n_rois, out_size, out_size, 1)
         return out
 

@@ -155,3 +155,56 @@ def test_mdpool_faster_rcnn_forward():
                       jnp.ones((2, 4), jnp.float32),
                       method='simple_test')
     assert out['dets'].shape == (2, 16, 5)
+
+
+def test_dpool_converter_key_translation():
+    """mmcv DeformRoIPoolPack checkpoints (per-level roi_layers.{l}.
+    offset_fc/mask_fc Sequentials) convert onto the per-level flax
+    packs: keys consumed, Linear weights land transposed, NCHW flatten
+    means fc1 rows line up with torch with no reorder hint."""
+    from swindet_tpu.checkpoint import convert_torch_state_dict
+
+    model = build_detector(_tiny_mdpool_cfg())
+    batch = demo_inputs(b=1, h=64, w=64, with_mask=False)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'], method='forward_dummy')
+    params = variables['params']
+
+    rs = np.random.RandomState(0)
+    in_dim, fcc, out2, out1 = 16 * 7 * 7, 32, 7 * 7 * 2, 7 * 7
+    sd = {}
+    for l in range(4):
+        pre = f'roi_head.bbox_roi_extractor.roi_layers.{l}'
+        sd[f'{pre}.offset_fc.0.weight'] = rs.randn(fcc, in_dim) \
+            .astype(np.float32)
+        sd[f'{pre}.offset_fc.0.bias'] = rs.randn(fcc).astype(np.float32)
+        sd[f'{pre}.offset_fc.2.weight'] = rs.randn(fcc, fcc) \
+            .astype(np.float32)
+        sd[f'{pre}.offset_fc.2.bias'] = rs.randn(fcc).astype(np.float32)
+        sd[f'{pre}.offset_fc.4.weight'] = rs.randn(out2, fcc) \
+            .astype(np.float32)
+        sd[f'{pre}.offset_fc.4.bias'] = rs.randn(out2).astype(np.float32)
+        sd[f'{pre}.mask_fc.0.weight'] = rs.randn(fcc, in_dim) \
+            .astype(np.float32)
+        sd[f'{pre}.mask_fc.0.bias'] = rs.randn(fcc).astype(np.float32)
+        sd[f'{pre}.mask_fc.2.weight'] = rs.randn(out1, fcc) \
+            .astype(np.float32)
+        sd[f'{pre}.mask_fc.2.bias'] = rs.randn(out1).astype(np.float32)
+
+    new_params, report = convert_torch_state_dict(sd, params)
+    ext = new_params['_roi_head']['_bbox_extractor']
+    for l in range(4):
+        pre = f'roi_head.bbox_roi_extractor.roi_layers.{l}'
+        np.testing.assert_allclose(
+            np.asarray(ext[f'roi_layers{l}_offset_fc1']['kernel']),
+            sd[f'{pre}.offset_fc.0.weight'].T, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(ext[f'roi_layers{l}_offset_out']['bias']),
+            sd[f'{pre}.offset_fc.4.bias'], rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(ext[f'roi_layers{l}_mask_out']['kernel']),
+            sd[f'{pre}.mask_fc.2.weight'].T, rtol=1e-6)
+    # every dpool leaf was matched (none left at init / reported missing)
+    assert not [k for k in report['missing'] if 'roi_layers' in k]
