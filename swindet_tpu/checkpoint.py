@@ -322,6 +322,14 @@ def convert_torch_state_dict(
 
     for path, leaf in flat_params.items():
         tkey = flax_path_to_torch_key(path)
+        if tkey not in sd and '.conv.' in tkey:
+            # our MaskedConv2d keeps the weight on a child named
+            # 'conv'; mmcv's subclasses nn.Conv2d directly (keys like
+            # ga_retina_head retina_cls.weight). Only fires on a miss,
+            # so real ConvModule '.conv.' keys are untouched.
+            alt = tkey.replace('.conv.', '.')
+            if alt in sd:
+                tkey = alt
         if tkey not in sd:
             missing.append(tkey)
             new_flat[path] = leaf
