@@ -165,9 +165,12 @@ def format_results(outputs: Dict[str, np.ndarray], metas: List[dict],
     dets = np.asarray(outputs['dets'])
     labels = np.asarray(outputs['labels'])
     valid = np.asarray(outputs['det_valid'])
-    has_mask = 'mask_probs' in outputs if with_mask is None else with_mask
+    full_res = 'mask_probs_full' in outputs
+    has_mask = ('mask_probs' in outputs or full_res) \
+        if with_mask is None else with_mask
     if has_mask:
-        mask_probs = np.asarray(outputs['mask_probs'])
+        mask_probs = np.asarray(
+            outputs['mask_probs_full' if full_res else 'mask_probs'])
 
     results = []
     for i, meta in enumerate(metas):
@@ -177,8 +180,19 @@ def format_results(outputs: Dict[str, np.ndarray], metas: List[dict],
             continue
         oh, ow = meta['ori_shape'][:2]
         v = valid[i]
-        pm = paste_masks(mask_probs[i][v], dets[i][v, :4], oh, ow,
-                         threshold=mask_thr)
+        if full_res:
+            # YOLACT: whole-frame proto-res masks — bilinear to ori
+            # shape + threshold (reference yolact_head.py:852
+            # F.interpolate align_corners=False == cv2 INTER_LINEAR)
+            import cv2
+            pm = np.stack([
+                cv2.resize(m.astype(np.float32), (ow, oh),
+                           interpolation=cv2.INTER_LINEAR) > mask_thr
+                for m in mask_probs[i][v]]).astype(np.uint8) \
+                if v.any() else np.zeros((0, oh, ow), np.uint8)
+        else:
+            pm = paste_masks(mask_probs[i][v], dets[i][v, :4], oh, ow,
+                             threshold=mask_thr)
         mask_res = [[] for _ in range(num_classes)]
         for m, lab in zip(pm, labels[i][v]):
             mask_res[int(lab)].append(m)

@@ -44,7 +44,7 @@ _NAME_MAP = {
 _INDEXED = re.compile(
     r'^(layers|blocks|lateral_convs|fpn_convs|shared_convs|shared_fcs|'
     r'convs|cls_convs|reg_convs|cls_fcs|reg_fcs|bbox_head|mask_head|'
-    r'reppoints_cls_convs|reppoints_pts_convs)(\d+)$')
+    r'reppoints_cls_convs|reppoints_pts_convs|head_convs)(\d+)$')
 
 
 def flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
@@ -331,6 +331,17 @@ def convert_torch_state_dict(
             if alt in sd:
                 tkey = alt
         if tkey not in sd:
+            # YOLACTProtonet: our param layers are conv{i}/deconv{i}
+            # keyed by entry index; the reference wraps each entry in
+            # nn.Sequential with a ReLU after it (yolact_head.py:646),
+            # so the torch key index is 2*i under 'protonet.'
+            m = re.match(r'^(.*mask_head\.)(?:de)?conv(\d+)\.(.*)$', tkey)
+            if m:
+                alt = f'{m.group(1)}protonet.{2 * int(m.group(2))}.' \
+                      f'{m.group(3)}'
+                if alt in sd:
+                    tkey = alt
+        if tkey not in sd:
             missing.append(tkey)
             new_flat[path] = leaf
             continue
@@ -344,7 +355,8 @@ def convert_torch_state_dict(
                 # shape-ambiguous when in==out, so decide by module name:
                 # every deconv in the surface is called 'upsample'
                 # (reference fcn_mask_head.py:46 build_upsample_layer).
-                is_deconv = any('upsample' in p for p in path)
+                is_deconv = any('upsample' in p or 'deconv' in p
+                                for p in path)
                 if not is_deconv and not (
                         tgt_shape[2] == src.shape[1]
                         and tgt_shape[3] == src.shape[0]):

@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from ..builder import DETECTORS, build_head
-from ..dense_heads.yolact_head import crop_by_boxes, crop_resize
+from ..dense_heads.yolact_head import crop_by_boxes
 from .single_stage import SingleStageDetector
 
 EPS = 1e-6
@@ -100,28 +100,23 @@ class YOLACT(SingleStageDetector):
             cls_scores, bbox_preds, coeff_preds, img_shapes,
             scale_factors, cfg=dict(self.test_cfg), rescale=rescale)
         proto = self._mask_head(feats[0])
-        b, hp, wp, _ = proto.shape
-        stride_y = img.shape[1] / hp
-        stride_x = img.shape[2] / wp
-        s = 14  # patch side; pasted at 2s=28 by the host pipeline? No:
-        # the paste pipeline consumes (max, S, S) probs directly.
 
-        def per_image(proto_i, coeffs, dets, sf):
+        def per_image(proto_i, coeffs, dets, ish, sf):
+            # reference YOLACTProtonet.forward (test branch, :660):
+            # sigmoid(proto @ coeff.T), crop by boxes made relative to
+            # img_shape, keep PROTO resolution; get_seg_masks (:828)
+            # bilinear-upsamples the full map to ori shape on the host.
             mask = jax.nn.sigmoid(
                 jnp.einsum('hwp,mp->mhw', proto_i.astype(jnp.float32),
                            coeffs))
             boxes = dets[:, :4]
             if rescale:  # back to input frame for proto cropping
                 boxes = boxes * sf[None, :4]
-            rel = boxes / jnp.asarray(
-                [wp * stride_x, hp * stride_y] * 2, jnp.float32)[None]
-            mask = crop_by_boxes(mask, rel)
-            proto_boxes = boxes / jnp.asarray(
-                [stride_x, stride_y, stride_x, stride_y],
-                jnp.float32)[None]
-            return crop_resize(mask, proto_boxes, 28)
+            hw = ish.astype(jnp.float32)
+            rel = boxes / jnp.stack([hw[1], hw[0], hw[1], hw[0]])[None]
+            return crop_by_boxes(mask, rel)
 
         probs = jax.vmap(per_image)(proto, res.coeffs, res.dets,
-                                    scale_factors)
+                                    img_shapes, scale_factors)
         return dict(dets=res.dets, labels=res.labels,
-                    det_valid=res.valid, mask_probs=probs)
+                    det_valid=res.valid, mask_probs_full=probs)

@@ -57,11 +57,22 @@ class FPN(nn.Module):
                     inputs[i], train=train)
             laterals.append(lat)
 
-        # top-down pathway
+        # top-down pathway (mode from upsample_cfg — YOLACT's FPN uses
+        # bilinear, reference fpn.py:186 F.interpolate align_corners=False
+        # == jax.image.resize 'bilinear' half-pixel centers on upscale)
+        mode = (self.upsample_cfg or {}).get('mode', 'nearest')
         for i in range(used_backbone_levels - 1, 0, -1):
             prev_shape = laterals[i - 1].shape[1:3]
-            laterals[i - 1] = laterals[i - 1] + resize_nearest(
-                laterals[i], prev_shape)
+            if mode == 'nearest':
+                up = resize_nearest(laterals[i], prev_shape)
+            else:
+                import jax
+                b, _, _, c = laterals[i].shape
+                up = jax.image.resize(
+                    laterals[i].astype(jnp.float32),
+                    (b, prev_shape[0], prev_shape[1], c),
+                    mode).astype(laterals[i].dtype)
+            laterals[i - 1] = laterals[i - 1] + up
 
         # output 3x3 convs
         outs = []

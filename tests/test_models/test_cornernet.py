@@ -216,8 +216,11 @@ def test_yolact_forward():
                       jnp.ones((2, 4), jnp.float32),
                       method='simple_test')
     assert out['dets'].shape == (2, 16, 5)
-    assert out['mask_probs'].shape == (2, 16, 28, 28)
-    assert np.all(np.isfinite(np.asarray(out['mask_probs'])))
+    # full proto-res masks (reference get_seg_masks interpolates the
+    # whole proto map to ori shape; host pipeline does the same)
+    mp = out['mask_probs_full']
+    assert mp.shape[:2] == (2, 16) and mp.ndim == 4
+    assert np.all(np.isfinite(np.asarray(mp)))
 
 
 def test_fast_nms_keeps_distinct():
