@@ -133,6 +133,17 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     buf_scores0 = jnp.full((max_out,), -jnp.inf, score_s.dtype)
     buf_inds0 = jnp.zeros((max_out,), jnp.int32)
 
+    # Exact early exit: invalid/padded candidates sort to the back, so
+    # tiles past the last live one can't change state; and once the kept
+    # buffer is full (count == max_out) every later append is dropped
+    # (tiles arrive in descending score order, so the buffer is final).
+    # Both conditions preserve the exact sequential-NMS keep set while
+    # cutting the sequential trip count from ceil(N/T) to the live tiles
+    # actually needed (multiclass NMS pads to 2048 but typically only a
+    # few hundred candidates clear score_thr).
+    n_live = jnp.sum(valid_s.astype(jnp.int32))
+    live_tiles = (n_live + TILE - 1) // TILE
+
     def tile_step(i, state):
         buf_boxes, buf_scores, buf_inds, count = state
         sl = i * TILE
@@ -161,9 +172,17 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray,
                             max_out)
         return buf_boxes, buf_scores, buf_inds, count
 
-    buf_boxes, buf_scores, buf_inds, count = jax.lax.fori_loop(
-        0, num_tiles, tile_step,
-        (buf_boxes0, buf_scores0, buf_inds0, jnp.int32(0)))
+    def loop_cond(carry):
+        i, (_, _, _, count) = carry
+        return (i < num_tiles) & (i < live_tiles) & (count < max_out)
+
+    def loop_body(carry):
+        i, state = carry
+        return i + 1, tile_step(i, state)
+
+    _, (buf_boxes, buf_scores, buf_inds, count) = jax.lax.while_loop(
+        loop_cond, loop_body,
+        (jnp.int32(0), (buf_boxes0, buf_scores0, buf_inds0, jnp.int32(0))))
 
     out_valid = jnp.arange(max_out) < count
     dets = jnp.concatenate(
