@@ -239,6 +239,58 @@ def _translate_sparse_rcnn_keys(sd: Dict[str, np.ndarray]
     return out
 
 
+def _translate_hourglass_keys(sd: Dict[str, np.ndarray]
+                              ) -> Dict[str, np.ndarray]:
+    """Rewrite reference HourglassNet/CornerHead/CentripetalHead keys
+    into this framework's naming. Torch side (mmdet/models/backbones/
+    hourglass.py:128-160): ``stem`` Sequential(ConvModule, ResLayer),
+    ``hourglass_modules``/``conv1x1s``/``out_convs``/``remap_convs``
+    ModuleLists and one ``inters`` ResLayer indexed per stack; inside a
+    HourglassModule the up1/low1/low2/low3 ResLayers hold integer block
+    indices. Head side (dense_heads/corner_head.py:144-199,
+    centripetal_head.py:73-121): per-level ModuleLists whose branches
+    are Sequential(ConvModule, Conv2d). Flax side
+    (models/backbones/hourglass.py, dense_heads/corner_head.py):
+    ``stem0/stem1.blockM``, ``hourglassN.(low2.)*{up1..}.blockM``,
+    ``interN.block0``, ``conv1x1_N/outN/remapN``, branch
+    ``{tl,br}_{heat,emb,off}N.{conv0,out}``. No-op for checkpoints
+    without a ``hourglass_modules.`` key."""
+    if not any('hourglass_modules.' in k for k in sd):
+        return sd
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        k = re.sub(r'\bstem\.0\.', 'stem0.', k)
+        k = re.sub(r'\bstem\.1\.(\d+)\.', r'stem1.block\1.', k)
+        k = re.sub(r'\bhourglass_modules\.(\d+)\.', r'hourglass\1.', k)
+        # block index of the innermost ResLayer (one per key)
+        k = re.sub(r'\.(up1|low1|low2|low3)\.(\d+)\.',
+                   r'.\1.block\2.', k)
+        k = re.sub(r'\binters\.(\d+)\.', r'inter\1.block0.', k)
+        k = re.sub(r'\bconv1x1s\.(\d+)\.', r'conv1x1_\1.', k)
+        k = re.sub(r'\bout_convs\.(\d+)\.', r'out\1.', k)
+        k = re.sub(r'\bremap_convs\.(\d+)\.', r'remap\1.', k)
+        # corner branches: Sequential(ConvModule, Conv2d) → conv0/out
+        k = re.sub(r'\b(tl|br)_(heat|emb|off)\.(\d+)\.0\.',
+                   r'\1_\2\3.conv0.', k)
+        # second branch layer is a norm-less ConvModule in torch
+        # (corner_head.py:148-149) but a bare Conv here → drop '.conv'
+        k = re.sub(r'\b(tl|br)_(heat|emb|off)\.(\d+)\.1\.conv\.',
+                   r'\1_\2\3.out.', k)
+        k = re.sub(r'\b(tl|br)_pool\.(\d+)\.', r'\1_pool\2.', k)
+        # centripetal extras
+        k = re.sub(r'\b(tl|br)_(guiding|centripetal)_shift\.(\d+)\.0\.',
+                   r'\1_\2\3.conv0.', k)
+        k = re.sub(
+            r'\b(tl|br)_(guiding|centripetal)_shift\.(\d+)\.1\.conv\.',
+            r'\1_\2\3.out.', k)
+        k = re.sub(r'\b(tl|br)_feat_adaption\.(\d+)\.',
+                   r'\1_adaption\2.', k)
+        k = re.sub(r'\b(tl|br)_dcn_offset\.(\d+)\.conv\.',
+                   r'\1_dcn_offset\2.', k)
+        out[k] = v
+    return out
+
+
 def _translate_dpool_keys(sd: Dict[str, np.ndarray]
                           ) -> Dict[str, np.ndarray]:
     """Rewrite mmcv DeformRoIPoolPack keys (one pack per FPN level,
@@ -269,12 +321,19 @@ def convert_torch_state_dict(
         state_dict: Dict[str, Any],
         params: Dict,
         flatten_hints: Optional[Dict[str, Tuple[int, int, int]]] = None,
-        logger=None) -> Tuple[Dict, Dict[str, List[str]]]:
+        logger=None,
+        batch_stats: Optional[Dict] = None):
     """Map a torch state_dict onto a flax params tree.
 
     flatten_hints: flax-path-prefix → (h, w, c) of the spatial feature
     each first-FC consumes (for CHW→HWC input reorder).
-    Returns (new params tree, report dict with missing/unexpected keys).
+    batch_stats: optional flax ``batch_stats`` collection; when given,
+    torch BN ``running_mean``/``running_var`` buffers are mapped onto it
+    (leaves named ``mean``/``var``) and the return value becomes
+    (new params, new batch_stats, report) instead of (new params,
+    report).
+    Returns (new params tree[, new batch_stats tree], report dict with
+    missing/unexpected keys).
     """
     logger = logger or get_root_logger()
     sd = {}
@@ -288,6 +347,7 @@ def convert_torch_state_dict(
     sd = _translate_detr_keys(sd)
     sd = _translate_ssd_vgg_keys(sd)
     sd = _translate_sparse_rcnn_keys(sd)
+    sd = _translate_hourglass_keys(sd)
     sd = _translate_dpool_keys(sd)
 
     # per-level torch Scale modules (fcos/atss/gfl/vfnet heads:
@@ -407,6 +467,25 @@ def convert_torch_state_dict(
             missing.append(tkey)
             new_flat[path] = leaf
 
+    new_stats_flat = {}
+    if batch_stats is not None:
+        for path, leaf in _flatten(batch_stats).items():
+            tkey = flax_path_to_torch_key(path)
+            if tkey not in sd:
+                missing.append(tkey)
+                new_stats_flat[path] = leaf
+                continue
+            src = sd[tkey].astype(np.float32)
+            used.add(tkey)
+            if src.shape != tuple(leaf.shape):
+                logger.warning(
+                    f'convert failed for {tkey}: shape {src.shape} vs '
+                    f'{tuple(leaf.shape)}')
+                missing.append(tkey)
+                new_stats_flat[path] = leaf
+                continue
+            new_stats_flat[path] = jnp.asarray(src, leaf.dtype)
+
     unexpected = [k for k in sd
                   if k not in used and 'relative_position_index' not in k
                   and 'attn_mask' not in k
@@ -419,8 +498,10 @@ def convert_torch_state_dict(
     if unexpected:
         logger.warning(
             f'unexpected keys ({len(unexpected)}): {unexpected[:10]}...')
-    return _unflatten(new_flat), dict(missing=missing,
-                                      unexpected=unexpected)
+    report = dict(missing=missing, unexpected=unexpected)
+    if batch_stats is not None:
+        return _unflatten(new_flat), _unflatten(new_stats_flat), report
+    return _unflatten(new_flat), report
 
 
 def _flatten(tree, prefix=()):
@@ -511,10 +592,16 @@ def load_checkpoint(module, variables, filename: str,
             if isinstance(ckpt, dict) else ckpt
         meta = ckpt.get('meta', {}) if isinstance(ckpt, dict) else {}
         hints = default_flatten_hints(model_cfg or {})
-        new_params, report = convert_torch_state_dict(
-            state_dict, variables['params'], flatten_hints=hints,
-            logger=logger)
         out = dict(variables)
+        if 'batch_stats' in variables:
+            new_params, new_stats, report = convert_torch_state_dict(
+                state_dict, variables['params'], flatten_hints=hints,
+                logger=logger, batch_stats=variables['batch_stats'])
+            out['batch_stats'] = new_stats
+        else:
+            new_params, report = convert_torch_state_dict(
+                state_dict, variables['params'], flatten_hints=hints,
+                logger=logger)
         out['params'] = new_params
         return out, meta
     variables_new, meta = load_native_checkpoint(filename)

@@ -97,6 +97,18 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray,
         boxes: (N, 4); scores: (N,); valid: (N,) bool or None.
         max_out: static output capacity (kept boxes beyond this dropped).
     Returns score-ordered kept detections.
+
+    Precondition: every ``valid`` candidate must carry a finite score —
+    the tiled early exit counts live tiles as ``ceil(sum(valid)/TILE)``
+    after the score sort, so a valid box scored -inf/NaN would sort into
+    the padded block and be dropped. All callers satisfy this
+    (multiclass_nms defines validity as score > thr; head logits are
+    finite).
+
+    Non-differentiable: the tile scan is a ``lax.while_loop`` (no
+    reverse-mode AD). Safe because proposals are stop_gradient'd before
+    NMS (detectors/two_stage.py) and no training loss backprops through
+    test-time NMS.
     """
     n = boxes.shape[0]
     if valid is None:
@@ -174,6 +186,8 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray,
 
     def loop_cond(carry):
         i, (_, _, _, count) = carry
+        # live_tiles <= num_tiles always (n_live <= n_pad); the
+        # `i < num_tiles` term is a belt-and-suspenders bound only.
         return (i < num_tiles) & (i < live_tiles) & (count < max_out)
 
     def loop_body(carry):
