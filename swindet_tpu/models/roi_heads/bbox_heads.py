@@ -139,10 +139,15 @@ class ConvFCBBoxHead(nn.Module):
                 safe = jnp.clip(labels, 0, k - 1)
                 pred = jnp.take_along_axis(
                     pred, safe[:, None, None].repeat(4, -1), axis=1)[:, 0]
-            # reference avg_factor = bbox_targets.size(0) = total slots
+            # reference avg_factor = bbox_targets.size(0) = number of
+            # ACTUALLY sampled rois. In the padded layout that is the
+            # count of valid slots (label_weights > 0), NOT the static
+            # capacity — they differ when the sampler isn't saturated.
+            n_valid = jnp.maximum(
+                jnp.sum((label_weights > 0).astype(jnp.float32)), 1.0)
             losses['loss_bbox'] = self._loss_bbox(
                 pred, bbox_targets, weight=bbox_weights,
-                avg_factor=float(bbox_targets.shape[0]),
+                avg_factor=n_valid,
                 reduction_override=reduction_override,
                 **(loss_bbox_kwargs or {}))
         return losses

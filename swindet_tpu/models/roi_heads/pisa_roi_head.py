@@ -68,7 +68,11 @@ class PISARoIHead(StandardRoIHead):
                 self._bbox_head.num_classes,
                 k=float(carl_cfg.get('k', 1)),
                 bias=float(carl_cfg.get('bias', 0.2)),
-                avg_factor=float(labels.shape[0])))
+                # reference default avg = bbox_targets.size(0) = actual
+                # roi count (pisa_loss.py:170) — valid slots here
+                avg_factor=jnp.maximum(
+                    jnp.sum((label_weights > 0).astype(jnp.float32)),
+                    1.0)))
 
         if self.with_mask and gt_masks is not None:
             m = int(num * self._sampler.pos_fraction)

@@ -230,16 +230,21 @@ class SABLHead(nn.Module):
             bucket_cls_targets, bucket_offset_targets = bbox_targets
             bucket_cls_weights, bucket_offset_weights = bbox_weights
             s = self.side_num
+            # reference avg_factor counts ACTUAL sampled rois
+            # (bucket_*_targets.size(0)); in the padded layout that is
+            # the number of valid slots, not the static capacity
+            n_valid = jnp.maximum(
+                jnp.sum((label_weights > 0).astype(jnp.float32)), 1.0)
             losses['loss_bbox_cls'] = self._loss_bbox_cls(
                 bucket_cls_preds.reshape(-1, s),
                 bucket_cls_targets.reshape(-1, s),
                 weight=bucket_cls_weights.reshape(-1, s),
-                avg_factor=float(bucket_cls_targets.size // s),
+                avg_factor=n_valid * (bucket_cls_targets.shape[-1] // s),
                 reduction_override=reduction_override)
             losses['loss_bbox_reg'] = self._loss_bbox_reg(
                 bucket_offset_preds, bucket_offset_targets,
                 weight=bucket_offset_weights,
-                avg_factor=float(bucket_offset_targets.shape[0]),
+                avg_factor=n_valid,
                 reduction_override=reduction_override)
         return losses
 

@@ -165,11 +165,17 @@ def transfer_weights(ref_model, variables, model_cfg=None):
                                         default_flatten_hints)
     sd = ref_model.state_dict()
     hints = default_flatten_hints(model_cfg or {})
-    new_params, report = convert_torch_state_dict(
-        sd, variables['params'], flatten_hints=hints)
+    out = dict(variables)
+    if 'batch_stats' in variables:
+        new_params, new_stats, report = convert_torch_state_dict(
+            sd, variables['params'], flatten_hints=hints,
+            batch_stats=variables['batch_stats'])
+        out['batch_stats'] = new_stats
+    else:
+        new_params, report = convert_torch_state_dict(
+            sd, variables['params'], flatten_hints=hints)
     assert not report['missing'], f"missing: {report['missing']}"
     assert not report['unexpected'], f"unexpected: {report['unexpected']}"
-    out = dict(variables)
     out['params'] = new_params
     return out
 
@@ -194,7 +200,7 @@ def build_both(model_cfg, img_hw=(64, 64), seed=0):
 
 
 # ------------------------------------------------------------- runners
-def run_ref_simple_test(ref, img_hwc, ori_shape=None):
+def run_ref_simple_test(ref, img_hwc, ori_shape=None, extra_meta=None):
     """Reference model.forward_test on ONE image (normalized, HWC)."""
     h, w = img_hwc.shape[:2]
     meta = dict(img_shape=(h, w, 3),
@@ -203,6 +209,7 @@ def run_ref_simple_test(ref, img_hwc, ori_shape=None):
                 scale_factor=np.array([1., 1., 1., 1.], np.float32),
                 flip=False, flip_direction=None,
                 filename='<synthetic>')
+    meta.update(extra_meta or {})
     img = torch.from_numpy(
         np.ascontiguousarray(img_hwc.transpose(2, 0, 1))[None])
     with torch.no_grad():
@@ -244,3 +251,180 @@ def match_dets(ref_res, jax_res, num_classes, box_tol=1e-2,
                                    err_msg=f'class {c} scores')
         np.testing.assert_allclose(j[:, :4], r[:, :4], atol=box_tol,
                                    err_msg=f'class {c} boxes')
+
+
+# ------------------------------------------------------- gradient parity
+def make_gts(b, g, h, w, num_classes=4, seed=0, with_mask=False):
+    """Padded synthetic gt batch (same recipe as
+    tests/test_models/test_forward.demo_inputs, reproduced here so the
+    golden suite stays self-contained)."""
+    rs = np.random.RandomState(seed)
+    gt_bboxes = np.zeros((b, g, 4), np.float32)
+    gt_valid = np.zeros((b, g), bool)
+    gt_labels = np.zeros((b, g), np.int32)
+    for i in range(b):
+        n = max(g - i, 1)
+        cx = rs.rand(n) * w * 0.6 + w * 0.2
+        cy = rs.rand(n) * h * 0.6 + h * 0.2
+        bw = rs.rand(n) * w * 0.3 + 8
+        bh = rs.rand(n) * h * 0.3 + 8
+        gt_bboxes[i, :n] = np.stack(
+            [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], -1)
+        gt_valid[i, :n] = True
+        gt_labels[i, :n] = rs.randint(0, num_classes, n)
+    masks = None
+    if with_mask:
+        masks = np.zeros((b, g, h, w), np.float32)
+        yy, xx = np.mgrid[0:h, 0:w]
+        for i in range(b):
+            for j in range(g):
+                if not gt_valid[i, j]:
+                    continue
+                x1, y1, x2, y2 = gt_bboxes[i, j]
+                # soft ellipse inside the box — non-trivial mask target
+                exy = (((xx - (x1 + x2) / 2) / max((x2 - x1) / 2, 1)) ** 2
+                       + ((yy - (y1 + y2) / 2)
+                          / max((y2 - y1) / 2, 1)) ** 2)
+                masks[i, j] = (exy < 1.0).astype(np.float32)
+    return gt_bboxes, gt_valid, gt_labels, masks
+
+
+def ref_param_grads(ref, imgs, gt_bboxes, gt_valid, gt_labels,
+                    masks=None):
+    """Run reference forward_train + backward; return (total loss,
+    state_dict-shaped grads with zeros for grad-less params).
+
+    The total follows mmdet BaseDetector._parse_losses (base.py:185):
+    mean per tensor, summed over list entries, over every key
+    containing 'loss'."""
+    import torch
+    # train mode: mode-dependent layers (GA's loc-filtered MaskedConv,
+    # dropout at p=0) must take their training branch like ours does;
+    # the tiny configs are BN-free so no stats drift
+    ref.train()
+    b, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    t_img = torch.from_numpy(
+        np.ascontiguousarray(imgs.transpose(0, 3, 1, 2)))
+    metas = [dict(img_shape=(h, w, 3), pad_shape=(h, w, 3),
+                  ori_shape=(h, w, 3),
+                  scale_factor=np.array([1., 1., 1., 1.], np.float32),
+                  flip=False, flip_direction=None)
+             for _ in range(b)]
+    t_boxes = [torch.tensor(gt_bboxes[i][gt_valid[i]])
+               for i in range(b)]
+    t_labels = [torch.tensor(gt_labels[i][gt_valid[i]].astype(np.int64))
+                for i in range(b)]
+    kwargs = {}
+    if masks is not None:
+        from mmdet.core.mask.structures import BitmapMasks
+        kwargs['gt_masks'] = [
+            BitmapMasks(masks[i][gt_valid[i]].astype(np.uint8), h, w)
+            for i in range(b)]
+    losses = ref.forward_train(t_img, metas, t_boxes, t_labels, **kwargs)
+    total = None
+    for k, v in losses.items():
+        if 'loss' not in k:
+            continue
+        vs = v if isinstance(v, (list, tuple)) else [v]
+        part = sum(x.mean() for x in vs)
+        total = part if total is None else total + part
+    ref.zero_grad()
+    total.backward()
+    grads = {}
+    for name, p in ref.named_parameters():
+        grads[name] = (p.grad.detach().clone() if p.grad is not None
+                       else torch.zeros_like(p))
+    return float(total.detach()), grads
+
+
+def jax_param_grads(module, variables, imgs, gt_bboxes, gt_valid,
+                    gt_labels, masks=None):
+    """jax.grad of the summed forward_train losses w.r.t. params."""
+    b, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    img_shapes = jnp.asarray([[h, w]] * b, jnp.int32)
+    pad_shapes = jnp.asarray([[h, w]] * b, jnp.int32)
+    others = {k: v for k, v in variables.items() if k != 'params'}
+    kwargs = {}
+    if masks is not None:
+        kwargs['gt_masks'] = jnp.asarray(masks)
+
+    def loss_fn(params):
+        out = module.apply(
+            {'params': params, **others}, jnp.asarray(imgs), img_shapes,
+            pad_shapes, jnp.asarray(gt_bboxes), jnp.asarray(gt_valid),
+            jnp.asarray(gt_labels), method='forward_train',
+            rngs={'sampling': jax.random.PRNGKey(7)}, **kwargs)
+        tot = None
+        for k, v in out.items():
+            if 'loss' not in k:
+                continue
+            part = jnp.sum(jnp.asarray(v, jnp.float32))
+            tot = part if tot is None else tot + part
+        return tot
+
+    total, grads = jax.value_and_grad(loss_fn)(variables['params'])
+    return float(total), grads
+
+
+def compare_grad_trees(jax_grads, torch_grads_tree, missing,
+                       rel_tol=1e-4, atol=1e-8):
+    """Per-tensor normalized max-error comparison. ``missing`` lists
+    torch keys the converter could not place (must be empty here).
+    Returns a list of failure strings (empty = pass)."""
+    from swindet_tpu.checkpoint import _flatten, flax_path_to_torch_key
+    fails = []
+    fj = _flatten(jax_grads)
+    ft = _flatten(torch_grads_tree)
+    miss = set(missing)
+    for path, jg in fj.items():
+        tkey = flax_path_to_torch_key(path)
+        jg = np.asarray(jg, np.float64)
+        if tkey in miss:
+            if np.abs(jg).max() > 1e-6:
+                fails.append(f'{"/".join(path)}: no torch grad but jax '
+                             f'grad max {np.abs(jg).max():.2e}')
+            continue
+        tg = np.asarray(ft[path], np.float64)
+        scale = max(np.abs(tg).max(), np.abs(jg).max(), 1e-8)
+        err = np.abs(tg - jg).max()
+        if err > rel_tol * scale + atol:
+            fails.append(f'{"/".join(path)}: max |Δ| {err:.3e} vs scale '
+                         f'{scale:.3e} (rel {err / scale:.2e})')
+    return fails
+
+
+def grad_parity(model_cfg, img_hw=(64, 96), b=2, g=3, num_classes=4,
+                with_mask=False, seed=3, input_seed=0, rel_tol=1e-4,
+                atol=1e-8, total_tol=1e-4):
+    """End-to-end gradient parity: jax.grad(total forward_train loss)
+    vs torch autograd through the reference model on identical weights
+    and inputs (VERDICT r3 ask #2). Torch grads are mapped onto the
+    flax tree with the production converter, which applies the exact
+    layout permutations used for weights (valid for grads: transposes /
+    flips / CHW→HWC reorders are linear index permutations)."""
+    from swindet_tpu.checkpoint import (convert_torch_state_dict,
+                                        default_flatten_hints)
+    h, w = img_hw
+    ref, module, variables = build_both(model_cfg, img_hw=img_hw,
+                                        seed=seed)
+    imgs = np.stack([make_image(h, w, seed=input_seed + i)
+                     for i in range(b)])
+    gt_bboxes, gt_valid, gt_labels, masks = make_gts(
+        b, g, h, w, num_classes=num_classes, seed=input_seed,
+        with_mask=with_mask)
+    r_total, r_grads = ref_param_grads(ref, imgs, gt_bboxes, gt_valid,
+                                       gt_labels, masks)
+    j_total, j_grads = jax_param_grads(module, variables, imgs,
+                                       gt_bboxes, gt_valid, gt_labels,
+                                       masks)
+    assert abs(r_total - j_total) <= total_tol * max(abs(r_total), 1.0), \
+        f'total loss mismatch: torch {r_total} vs jax {j_total}'
+    hints = default_flatten_hints(model_cfg)
+    tg_tree, report = convert_torch_state_dict(
+        r_grads, variables['params'], flatten_hints=hints)
+    assert not report['unexpected'], \
+        f'grads not consumed: {report["unexpected"][:8]}'
+    fails = compare_grad_trees(j_grads, tg_tree, report['missing'],
+                               rel_tol=rel_tol, atol=atol)
+    assert not fails, 'gradient mismatches:\n' + '\n'.join(fails[:20])
+    return r_total
