@@ -27,39 +27,65 @@ EPS = 1e-12
 INF = 1e8
 
 
-def _gmm_em_1d(x, valid, iters: int = 20, reg: float = 1e-6):
-    """Masked 2-component 1-D EM. x (M,) sorted ascending, valid (M,).
-    Returns (resp0 (M,) posterior of comp 0, loglik (M,))."""
+def _gmm_em_1d(x, valid, tol: float = 1e-3, max_iter: int = 100,
+               reg: float = 1e-6):
+    """sklearn-faithful masked 2-component 1-D EM
+    (reference: paa_head.py:322-341 fits
+    sklearn.mixture.GaussianMixture(2, covariance_type='diag',
+    weights_init=[.5,.5], means_init=[min,max], precisions_init=1);
+    sklearn defaults tol=1e-3, max_iter=100, reg_covar=1e-6).
+
+    Mirrors sklearn.mixture._base.BaseMixture.fit_predict exactly:
+    e-step -> m-step per iteration, lower bound = mean per-sample
+    log-likelihood computed in the e-step, stop when |change| < tol or
+    max_iter; m-step uses nk = sum(resp) + 10*eps, diag covariance
+    E[x^2] - mean^2 + reg_covar, weights renormalized; a final e-step
+    yields the assignment. Component identity is preserved (comp 0
+    seeded at the min loss), matching the reference's use of
+    ``gmm_assignment == 0`` as the positive mode.
+
+    x (M,) sorted ascending, valid (M,). Returns (assignment-0 mask,
+    score_samples log-likelihood), both (M,).
+    """
+    x = jax.lax.stop_gradient(x)   # ref fits on detached numpy losses
     xv = jnp.where(valid, x, 0.0)
-    n = jnp.maximum(jnp.sum(valid), 1.0)
+    n = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
     mn = jnp.min(jnp.where(valid, x, INF))
     mx = jnp.max(jnp.where(valid, x, -INF))
-    mu = jnp.stack([mn, mx])
-    var = jnp.ones((2,))
-    w = jnp.full((2,), 0.5)
+    mu0 = jnp.stack([mn, mx])
+    var0 = jnp.ones((2,))
+    w0 = jnp.full((2,), 0.5)
+    eps10 = 10.0 * jnp.finfo(jnp.float32).eps
 
-    def step(carry, _):
-        mu, var, w = carry
-        lp = (-0.5 * ((x[:, None] - mu[None]) ** 2 / var[None]
-                      + jnp.log(2 * jnp.pi * var[None]))
-              + jnp.log(jnp.maximum(w[None], EPS)))        # (M, 2)
-        r = jax.nn.softmax(lp, axis=-1)
-        r = jnp.where(valid[:, None], r, 0.0)
-        nk = jnp.maximum(r.sum(0), EPS)
+    def weighted_lp(mu, var, w):
+        return (-0.5 * ((x[:, None] - mu[None]) ** 2 / var[None]
+                        + jnp.log(2 * jnp.pi * var[None]))
+                + jnp.log(jnp.maximum(w[None], EPS)))      # (M, 2)
+
+    def cond(c):
+        _, _, _, _, it, done = c
+        return (~done) & (it < max_iter)
+
+    def body(c):
+        mu, var, w, lb_prev, it, _ = c
+        lp = weighted_lp(mu, var, w)
+        lpn = jax.scipy.special.logsumexp(lp, axis=-1)
+        r = jnp.where(valid[:, None], jnp.exp(lp - lpn[:, None]), 0.0)
+        lb = jnp.sum(jnp.where(valid, lpn, 0.0)) / n
+        nk = r.sum(0) + eps10
         mu_n = (r * xv[:, None]).sum(0) / nk
-        var_n = (r * (x[:, None] - mu_n[None]) ** 2).sum(0) / nk + reg
+        avg_x2 = (r * (xv ** 2)[:, None]).sum(0) / nk
+        var_n = avg_x2 - mu_n ** 2 + reg
         w_n = nk / n
-        return (mu_n, var_n, w_n), None
+        w_n = w_n / w_n.sum()
+        return (mu_n, var_n, w_n, lb, it + 1,
+                jnp.abs(lb - lb_prev) < tol)
 
-    (mu, var, w), _ = jax.lax.scan(step, (mu, var, w), None,
-                                   length=iters)
-    # order components by mean so comp 0 is the low-loss mode
-    order = jnp.argsort(mu)
-    mu, var, w = mu[order], var[order], w[order]
-    lp = (-0.5 * ((x[:, None] - mu[None]) ** 2 / var[None]
-                  + jnp.log(2 * jnp.pi * var[None]))
-          + jnp.log(jnp.maximum(w[None], EPS)))
-    resp0 = lp[:, 0] > lp[:, 1]
+    mu, var, w, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (mu0, var0, w0, -jnp.inf, jnp.int32(0), jnp.bool_(False)))
+    lp = weighted_lp(mu, var, w)
+    resp0 = lp[:, 0] >= lp[:, 1]   # argmax tie -> comp 0, like numpy
     loglik = jax.scipy.special.logsumexp(lp, axis=-1)
     return resp0, loglik
 
