@@ -1,0 +1,253 @@
+"""Training-engine integration tests (VERDICT r3 ask #3) — the analog of
+the reference's runner/eval-hook suite
+(reference: tests/test_runtime/test_eval_hook.py:14,
+mmcv_custom/runner/epoch_based_runner.py:70-104 resume):
+
+(a) train_detector end-to-end on a synthetic COCO dataset over the
+    8-device CPU mesh: loss decreases, eval hook runs;
+(b) kill-and-resume: epoch-1 checkpoint + resume == uninterrupted run,
+    bit-exact;
+(c) save_best checkpoint/symlink + log.json records;
+(d) DP equivalence: one 8-device sharded step == one 1-device step on
+    the same global batch (a wrong psum/mean would break this).
+"""
+import copy
+import glob
+import json
+import os.path as osp
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from swindet_tpu.models import build_detector
+from swindet_tpu.datasets import CocoDataset
+from swindet_tpu.utils.config import Config
+
+from tests.test_models.test_forward import tiny_maskrcnn_cfg, demo_inputs
+
+
+# ------------------------------------------------------------- fixtures
+def _write_coco(tmpdir, n_images=16, hw=(64, 64)):
+    import cv2
+    h, w = hw
+    rs = np.random.RandomState(0)
+    images, annotations = [], []
+    ann_id = 1
+    for img_id in range(1, n_images + 1):
+        fname = f'img{img_id}.jpg'
+        cv2.imwrite(osp.join(tmpdir, fname),
+                    rs.randint(0, 255, (h, w, 3), np.uint8))
+        images.append(dict(id=img_id, file_name=fname, width=w,
+                           height=h))
+        for _ in range(2):
+            x = int(rs.randint(0, w - 24))
+            y = int(rs.randint(0, h - 24))
+            bw = int(rs.randint(12, 22))
+            bh = int(rs.randint(12, 22))
+            annotations.append(dict(
+                id=ann_id, image_id=img_id,
+                category_id=int(rs.randint(1, 3)),
+                bbox=[x, y, bw, bh], area=bw * bh, iscrowd=0,
+                segmentation=[[x, y, x + bw, y, x + bw, y + bh,
+                               x, y + bh]]))
+            ann_id += 1
+    path = osp.join(tmpdir, 'ann.json')
+    with open(path, 'w') as f:
+        json.dump(dict(images=images, annotations=annotations,
+                       categories=[dict(id=1, name='person'),
+                                   dict(id=2, name='bicycle')]), f)
+    return path
+
+
+def _model_cfg():
+    cfg = copy.deepcopy(tiny_maskrcnn_cfg(with_mask=True))
+    cfg['roi_head']['bbox_head']['num_classes'] = 2
+    cfg['roi_head']['mask_head']['num_classes'] = 2
+    return cfg
+
+
+TRAIN_PIPELINE = [
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadAnnotations', with_bbox=True, with_mask=True),
+    dict(type='Resize', img_scale=(64, 64), keep_ratio=True),
+    dict(type='RandomFlip', flip_ratio=0.0),
+    dict(type='Normalize', mean=[0, 0, 0], std=[58, 57, 57],
+         to_rgb=True),
+    dict(type='Pad', size_divisor=64),
+    dict(type='DefaultFormatBundle'),
+    dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels',
+                               'gt_masks']),
+]
+TEST_PIPELINE = [
+    dict(type='LoadImageFromFile'),
+    dict(type='MultiScaleFlipAug', img_scale=(64, 64), flip=False,
+         transforms=[
+             dict(type='Resize', keep_ratio=True),
+             dict(type='RandomFlip'),
+             dict(type='Normalize', mean=[0, 0, 0], std=[58, 57, 57],
+                  to_rgb=True),
+             dict(type='Pad', size_divisor=64),
+             dict(type='ImageToTensor', keys=['img']),
+             dict(type='Collect', keys=['img']),
+         ])
+]
+
+
+def _train_config(tmpdir, ann, max_epochs=3, resume_from=None,
+                  save_best='bbox_mAP'):
+    cfg = dict(
+        model=_model_cfg(),
+        data=dict(
+            samples_per_gpu=1, workers_per_gpu=0,
+            train=dict(type='CocoDataset', ann_file=ann,
+                       img_prefix=tmpdir, pipeline=TRAIN_PIPELINE,
+                       classes=('person', 'bicycle')),
+            val=dict(type='CocoDataset', ann_file=ann,
+                     img_prefix=tmpdir, pipeline=TEST_PIPELINE,
+                     classes=('person', 'bicycle'))),
+        optimizer=dict(type='AdamW', lr=2e-3, betas=(0.9, 0.999),
+                       weight_decay=0.05),
+        optimizer_config=dict(grad_clip=dict(max_norm=10.0)),
+        lr_config=dict(policy='step', warmup='linear', warmup_iters=2,
+                       warmup_ratio=0.1, step=[1000]),
+        runner=dict(type='EpochBasedRunnerAmp', max_epochs=max_epochs),
+        checkpoint_config=dict(interval=1),
+        log_config=dict(interval=1),
+        evaluation=dict(interval=max_epochs, metric='bbox',
+                        save_best=save_best),
+        work_dir=osp.join(tmpdir, 'work'),
+        seed=0)
+    if resume_from:
+        cfg['resume_from'] = resume_from
+    return Config(cfg)
+
+
+def _dataset(ann, tmpdir):
+    return CocoDataset(ann_file=ann, pipeline=TRAIN_PIPELINE,
+                       classes=('person', 'bicycle'), img_prefix=tmpdir)
+
+
+@pytest.fixture(scope='module')
+def coco_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp('coco'))
+    ann = _write_coco(d)
+    return d, ann
+
+
+# ------------------------------------------------- (a) + (c) end-to-end
+def test_train_detector_e2e(coco_dir):
+    """2 iters/epoch x 3 epochs on the 8-dev mesh; loss decreases,
+    eval + save_best + log.json all engage."""
+    from swindet_tpu.apis.train import train_detector
+    tmpdir, ann = coco_dir
+    cfg = _train_config(tmpdir, ann)
+    model = build_detector(dict(cfg.model))
+    ds = _dataset(ann, tmpdir)
+    state = train_detector(model, ds, cfg, validate=True)
+    assert int(state.step) == 3 * (16 // 8)
+
+    # log.json: train records each iter + one val record
+    logs = glob.glob(osp.join(cfg.work_dir, '*.log.json'))
+    assert logs, 'no json log written'
+    records = [json.loads(line) for line in open(sorted(logs)[-1])]
+    train_recs = [r for r in records if r['mode'] == 'train']
+    val_recs = [r for r in records if r['mode'] == 'val']
+    assert len(train_recs) == 6 and all('loss' in r for r in train_recs)
+    assert val_recs and 'bbox_mAP' in val_recs[-1]
+
+    # loss decreases from the first to the last epoch (deterministic
+    # seeds; 2e-3 AdamW on a tiny model drops the loss fast)
+    first = np.mean([r['loss'] for r in train_recs[:2]])
+    last = np.mean([r['loss'] for r in train_recs[-2:]])
+    assert last < first, (first, last)
+
+    # checkpoints: epoch_{1..3} + latest symlink + best_* (c)
+    for e in (1, 2, 3):
+        assert osp.isdir(osp.join(cfg.work_dir, f'epoch_{e}'))
+    assert osp.lexists(osp.join(cfg.work_dir, 'latest'))
+    best = glob.glob(osp.join(cfg.work_dir, 'best_bbox_mAP_epoch_*'))
+    assert best, 'save_best checkpoint missing'
+    assert osp.lexists(osp.join(cfg.work_dir, 'best_bbox_mAP'))
+
+
+# --------------------------------------------------- (b) resume parity
+def test_resume_is_bit_exact(coco_dir, tmp_path):
+    from swindet_tpu.apis.train import train_detector
+    tmpdir, ann = coco_dir
+
+    def run(workdir, max_epochs, resume_from=None):
+        cfg = _train_config(tmpdir, ann, max_epochs=max_epochs,
+                            resume_from=resume_from, save_best=None)
+        cfg.work_dir = workdir
+        cfg.evaluation = dict(interval=10**9, metric='bbox')
+        model = build_detector(dict(cfg.model))
+        return train_detector(model, _dataset(ann, tmpdir), cfg,
+                              validate=False)
+
+    full = run(str(tmp_path / 'full'), max_epochs=2)
+    run(str(tmp_path / 'half'), max_epochs=1)
+    resumed = run(str(tmp_path / 'half2'), max_epochs=2,
+                  resume_from=str(tmp_path / 'half' / 'epoch_1'))
+
+    assert int(full.step) == int(resumed.step)
+    flat_f, _ = jax.tree_util.tree_flatten(full.params)
+    flat_r, _ = jax.tree_util.tree_flatten(resumed.params)
+    for a, b in zip(flat_f, flat_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state resumes bit-exact too
+    flat_f, _ = jax.tree_util.tree_flatten(full.opt_state)
+    flat_r, _ = jax.tree_util.tree_flatten(resumed.opt_state)
+    for a, b in zip(flat_f, flat_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ------------------------------------------------ (d) DP equivalence
+def test_dp_step_matches_single_device():
+    """One jitted step over the 8-device mesh == the same step on a
+    1-device mesh for the identical global batch (fp32 tolerance —
+    only the reduction order may differ)."""
+    from swindet_tpu.engine import (TrainState, build_lr_schedule,
+                                    build_optimizer, jit_train_step,
+                                    make_train_step)
+    from swindet_tpu.parallel import make_mesh, replicate, shard_batch
+
+    model = build_detector(tiny_maskrcnn_cfg())
+    batch = demo_inputs(b=8, h=64, w=64)
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'sampling': jax.random.PRNGKey(1)},
+        batch['img'][:1], method='forward_dummy')
+
+    def one_step(n_dev):
+        params = jax.tree.map(jnp.array, variables['params'])
+        sched = build_lr_schedule(
+            dict(policy='step', warmup=None, step=[1000]),
+            base_lr=1e-3, iters_per_epoch=10)
+        tx = build_optimizer(params, dict(type='AdamW', lr=1e-3),
+                             sched)
+        state = TrainState.create(params, tx)
+        mesh = make_mesh(n_devices=n_dev)
+        step = jit_train_step(make_train_step(model, tx), mesh)
+        state = replicate(mesh, state)
+        sbatch = shard_batch(mesh, batch)
+        state2, metrics = step(state, sbatch, jax.random.PRNGKey(3))
+        return (jax.device_get(state2.params),
+                float(metrics['loss']), float(metrics['grad_norm']))
+
+    p8, loss8, gn8 = one_step(8)
+    p1, loss1, gn1 = one_step(1)
+    # loss and global grad norm must agree to reduction-order noise —
+    # a wrong psum/mean (e.g. sum instead of mean over shards) is off
+    # by the device count
+    assert abs(loss8 - loss1) < 1e-4 * max(abs(loss1), 1.0)
+    assert abs(gn8 - gn1) < 1e-3 * max(abs(gn1), 1e-6), (gn8, gn1)
+    # post-Adam params: near-zero grads make m/sqrt(v) ill-conditioned
+    # (sign of fp noise flips the unit update), so per-element rtol is
+    # loose — this still catches any systematic mis-scaling
+    flat8, _ = jax.tree_util.tree_flatten(p8)
+    flat1, _ = jax.tree_util.tree_flatten(p1)
+    for a, b in zip(flat8, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=1e-5)
