@@ -56,7 +56,10 @@ def init_detector_variables(model, cfg, logger, seed: int = 0):
 def train_detector(model, dataset, cfg, distributed: bool = False,
                    validate: bool = False, timestamp=None, meta=None):
     """(reference: apis/train.py:42)."""
-    logger = get_root_logger(cfg.get('log_level', 'INFO'))
+    import logging
+    logger = get_root_logger(
+        log_level=getattr(logging, str(cfg.get('log_level', 'INFO')),
+                          logging.INFO))
 
     # the reference's ``workflow`` key (runner.run phases) is honored
     # for its only published value [('train', N)]; interleaved 'val'
@@ -78,6 +81,16 @@ def train_detector(model, dataset, cfg, distributed: bool = False,
     samples_per_gpu = cfg.data.samples_per_gpu
     global_batch = samples_per_gpu * n_dev
     loader_cfg = dict(cfg.data.get('train_dataloader', {}))
+    # static canvas from the pipeline's declared geometry — the COCO
+    # default (1344x832) on a small-resolution config is nearly all
+    # zero padding, whose constant tokens explode LayerNorm gradients
+    from ..datasets.builder import derive_canvas
+    canvas_long, canvas_short = derive_canvas(
+        cfg.data.train.get('pipeline', []))
+    loader_cfg.setdefault('canvas_long', canvas_long)
+    loader_cfg.setdefault('canvas_short', canvas_short)
+    logger.info(f'Train canvas: {canvas_long}x{canvas_short} '
+                f'(landscape; derived from pipeline)')
     train_loader = build_dataloader(
         dataset, samples_per_gpu=samples_per_gpu,
         workers_per_gpu=cfg.data.workers_per_gpu, num_gpus=n_dev,

@@ -100,6 +100,103 @@ def _round_up(v: int, d: int) -> int:
     return (v + d - 1) // d * d
 
 
+_CANVAS_NEUTRAL = {
+    'LoadImageFromFile', 'LoadAnnotations', 'LoadProposals',
+    'LoadPanopticAnnotations', 'RandomFlip', 'Normalize',
+    'PhotoMetricDistortion', 'CutOut', 'Corrupt', 'SegRescale',
+    'DefaultFormatBundle', 'ImageToTensor', 'ToTensor', 'Collect',
+    'FilterAnnotations', 'InstaBoost',
+}
+
+
+def derive_canvas(pipeline,
+                  default: Tuple[int, int] = (1344, 832),
+                  divisor_default: int = 32) -> Tuple[int, int]:
+    """Derive the static train canvas (long, short) from a pipeline cfg.
+
+    The loader pads every batch onto ONE static canvas so a run compiles
+    two train programs; defaulting that canvas to COCO's 1344x832 is
+    catastrophic for small-resolution configs — a 64x64 image on a
+    1344x832 canvas is 99.6% zero padding, and LayerNorm over the
+    constant pad tokens back-propagates 1/sqrt(0+eps) ~ 300x per norm,
+    exploding gradients (found by the /verify smoke run, round 4).
+
+    Walks the declared geometric transforms in order, tracking an
+    output-size bound; any transform it cannot bound falls back to
+    ``default``. Returns (long, short) rounded up to the Pad divisor.
+    """
+    divisor = divisor_default
+    bound = None      # (long, short) upper bound, or None = unknown
+
+    def scale_bound(p):
+        scales = p.get('img_scale')
+        if scales is None:
+            return None
+        if isinstance(scales, (tuple, list)) and scales and \
+                not isinstance(scales[0], (tuple, list)):
+            scales = [tuple(scales)]
+        lo = max(max(s) for s in scales)
+        sh = max(min(s) for s in scales)
+        rr = p.get('ratio_range')
+        if rr:
+            lo = int(np.ceil(lo * max(rr)))
+            sh = int(np.ceil(sh * max(rr)))
+        return (lo, sh)
+
+    def walk(steps, bound):
+        nonlocal divisor
+        for p in steps:
+            t = p.get('type')
+            if t in _CANVAS_NEUTRAL:
+                continue
+            if t == 'Resize':
+                b = scale_bound(p)
+                if b is None:
+                    return None     # Resize driven by runtime scales
+                bound = b
+            elif t == 'RandomCrop':
+                cs = p.get('crop_size')
+                if cs is None:
+                    return None
+                b = (max(cs), min(cs))
+                bound = b if bound is None else (min(bound[0], b[0]),
+                                                 min(bound[1], b[1]))
+            elif t == 'RandomCenterCropPad':
+                cs = p.get('crop_size')
+                if cs is None:
+                    return None
+                bound = (max(cs), min(cs))
+            elif t == 'Pad':
+                if p.get('size') is not None:
+                    s = p['size']
+                    b = (max(s), min(s))
+                    bound = b if bound is None else (
+                        max(bound[0], b[0]), max(bound[1], b[1]))
+                if p.get('size_divisor'):
+                    divisor = max(divisor, int(p['size_divisor']))
+            elif t == 'AutoAugment':
+                bs = [walk(branch, bound)
+                      for branch in p.get('policies', [])]
+                if any(b is None for b in bs) or not bs:
+                    return None
+                bound = (max(b[0] for b in bs), max(b[1] for b in bs))
+            elif t == 'Expand':
+                # expands by up to max(ratio_range); bounded only if a
+                # later Resize re-bounds, so mark unknown for now
+                bound = None
+            elif t in ('MinIoURandomCrop',):
+                pass  # shrinks (or keeps) the current bound
+            else:
+                return None        # unknown transform — cannot bound
+        return bound
+
+    bound = walk(pipeline or [], None)
+    if bound is None:
+        bound = default
+    return (_round_up(int(bound[0]), divisor),
+            _round_up(int(bound[1]), divisor))
+
+
 def collate_detection(samples: List[dict],
                       canvas: Optional[Tuple[int, int]] = None,
                       max_gts: int = 100,

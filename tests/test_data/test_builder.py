@@ -78,3 +78,48 @@ def test_loader_iterates_all_batches():
     for b in batches:
         assert b['img'].shape == (2, 64, 64, 3)
         assert len(b['img_metas']) == 2
+
+
+def test_derive_canvas():
+    """Static canvas derivation from pipeline geometry (the COCO
+    default on a small-res config is ~99.6% zero padding, whose
+    constant tokens explode LayerNorm gradients — round-4 smoke-run
+    find)."""
+    from swindet_tpu.datasets.builder import derive_canvas
+
+    tiny = [dict(type='LoadImageFromFile'),
+            dict(type='Resize', img_scale=(64, 64), keep_ratio=True),
+            dict(type='Pad', size_divisor=64)]
+    assert derive_canvas(tiny) == (64, 64)
+
+    mstrain = [dict(type='LoadImageFromFile'),
+               dict(type='Resize', img_scale=[(1333, 480), (1333, 800)],
+                    multiscale_mode='range', keep_ratio=True),
+               dict(type='Pad', size_divisor=32)]
+    assert derive_canvas(mstrain) == (1344, 800)
+
+    # AutoAugment branches: max over branches
+    autoaug = [dict(type='AutoAugment', policies=[
+        [dict(type='Resize', img_scale=[(480, 1333), (800, 1333)],
+              multiscale_mode='value', keep_ratio=True)],
+        [dict(type='Resize', img_scale=[(400, 1333)], keep_ratio=True),
+         dict(type='RandomCrop', crop_size=(384, 600)),
+         dict(type='Resize', img_scale=[(480, 1333), (800, 1333)],
+              multiscale_mode='value', override=True,
+              keep_ratio=True)]]),
+        dict(type='Pad', size_divisor=32)]
+    assert derive_canvas(autoaug) == (1344, 800)
+
+    # Expand re-bounded by a later exact Resize (SSD recipe)
+    ssd = [dict(type='Expand', ratio_range=(1, 4)),
+           dict(type='MinIoURandomCrop'),
+           dict(type='Resize', img_scale=(300, 300), keep_ratio=False)]
+    assert derive_canvas(ssd) == (320, 320)
+
+    # unknown spatial transform → conservative default
+    assert derive_canvas([dict(type='Albu', transforms=[])]) \
+        == (1344, 832)
+    # Resize with ratio_range upscaling
+    rr = [dict(type='Resize', img_scale=(100, 80),
+               ratio_range=(0.8, 1.5), keep_ratio=True)]
+    assert derive_canvas(rr) == (160, 128)
