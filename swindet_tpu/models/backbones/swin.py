@@ -108,6 +108,56 @@ def window_gather_indices(h: int, w: int, ws: int, shift: int):
 
 
 @functools.lru_cache(maxsize=256)
+def _fold_unfold_fns(h: int, w: int, ws: int, shift: int):
+    """custom-VJP fold/unfold gathers for one (h, w, ws, shift).
+
+    fold:   (B, H*W, C) -> (B, nW*N, C)   pad+roll+window partition
+    unfold: (B, nW*N, C) -> (B, H*W, C)   the exact inverse
+
+    The index map restricted to valid positions is a bijection, so each
+    direction's VJP is a GATHER with the inverse table (pad slots carry
+    zero cotangent by construction). Without this, XLA derives the
+    gather's transpose as a scatter-add — profiled at 3.1 ms per
+    stage-1 fold on v5e (~25 GB/s effective, 30x off bandwidth) vs
+    ~0.25 ms for the equivalent gather.
+    """
+    idx, valid, inv_idx = window_gather_indices(h, w, ws, shift)
+    need_mask = not bool(valid.all())
+
+    def _mask(t):
+        return t * jnp.asarray(valid)[None, :, None].astype(t.dtype)
+
+    @jax.custom_vjp
+    def fold(x):
+        y = x[:, idx, :]
+        return _mask(y) if need_mask else y
+
+    def fold_fwd(x):
+        return fold(x), None
+
+    def fold_bwd(_, g):
+        # dx[s] = g[inv_idx[s]]: the unique valid window slot reading s
+        return (g[:, inv_idx, :],)
+
+    fold.defvjp(fold_fwd, fold_bwd)
+
+    @jax.custom_vjp
+    def unfold(x):
+        return x[:, inv_idx, :]
+
+    def unfold_fwd(x):
+        return unfold(x), None
+
+    def unfold_bwd(_, g):
+        # dX[p] = g[idx[p]] for valid slots, 0 for pad slots
+        d = g[:, idx, :]
+        return (_mask(d) if need_mask else d,)
+
+    unfold.defvjp(unfold_fwd, unfold_bwd)
+    return fold, unfold
+
+
+@functools.lru_cache(maxsize=256)
 def shifted_window_attn_mask(hp: int, wp: int, ws: int,
                              shift: int) -> Optional[np.ndarray]:
     """Additive (-100/0) mask (nW, N, N) for SW-MSA, computed on static
@@ -280,12 +330,11 @@ class SwinBlock(nn.Module):
 
         # pad + cyclic roll + window partition folded into ONE gather
         # (and the reverse into one inverse gather) — replaces 2 pads +
-        # 2 rolls + 2 reshape/transpose copies per block.
-        idx, valid, inv_idx = window_gather_indices(h, w, ws, shift)
+        # 2 rolls + 2 reshape/transpose copies per block. Both carry
+        # gather (not scatter) backwards: see _fold_unfold_fns.
+        fold, unfold = _fold_unfold_fns(h, w, ws, shift)
         n = ws * ws
-        y = y.reshape(b, h * w, c)[:, idx, :]
-        if not bool(valid.all()):
-            y = y * jnp.asarray(valid[:, None], y.dtype)[None]
+        y = fold(y.reshape(b, h * w, c))
         windows = y.reshape(b * (hp // ws) * (wp // ws), n, c)
 
         mask = shifted_window_attn_mask(hp, wp, ws, shift) \
@@ -296,7 +345,7 @@ class SwinBlock(nn.Module):
             attn_drop=self.attn_drop, proj_drop=self.drop,
             dtype=self.dtype, name='attn')(
                 windows, mask, deterministic=deterministic)
-        y = attn.reshape(b, -1, c)[:, inv_idx, :].reshape(b, h, w, c)
+        y = unfold(attn.reshape(b, -1, c)).reshape(b, h, w, c)
 
         dp = DropPath(self.drop_path, name='drop_path')
         x = shortcut + dp(y, deterministic=deterministic)
