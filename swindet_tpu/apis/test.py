@@ -333,20 +333,43 @@ def multi_gpu_test(model: DetectorHandle, dataset, batch_size: int = 8,
 
     shard_results = single_gpu_test(model, _Shard(), batch_size,
                                     logger=logger)
-    # gather to host 0 via multihost utils (padded object gather)
+    # gather to every host via multihost utils (padded object gather)
     from jax.experimental import multihost_utils
-    import pickle
-    payload = pickle.dumps(list(zip(my_idx, shard_results)))
-    arr = np.frombuffer(payload, np.uint8)
+    arr = pack_shard_results(my_idx, shard_results)
     sizes = multihost_utils.process_allgather(
         np.asarray([arr.size], np.int64))
-    maxlen = int(sizes.max())
+    padded = pad_shard_payload(arr, int(sizes.max()))
+    gathered = multihost_utils.process_allgather(padded)
+    return merge_gathered_results(gathered, sizes, len(dataset))
+
+
+def pack_shard_results(my_idx, shard_results) -> np.ndarray:
+    """Serialize one process's (dataset index, result) pairs to a uint8
+    payload for the padded object allgather (pure bookkeeping half of
+    multi_gpu_test; reference analog: mmdet/apis/test.py:117-190
+    collect_results_cpu part pickles)."""
+    import pickle
+    payload = pickle.dumps(list(zip(my_idx, shard_results)))
+    return np.frombuffer(payload, np.uint8)
+
+
+def pad_shard_payload(arr: np.ndarray, maxlen: int) -> np.ndarray:
+    """Right-pad a payload to the fleet-wide max length (allgather needs
+    one static shape across processes)."""
     padded = np.zeros(maxlen, np.uint8)
     padded[:arr.size] = arr
-    gathered = multihost_utils.process_allgather(padded)
-    results: List = [None] * len(dataset)
-    for r in range(world):
-        blob = bytes(gathered[r][:int(sizes[r][0])])
+    return padded
+
+
+def merge_gathered_results(gathered, sizes, n: int) -> List:
+    """Unpad + unpickle every process's payload and place each result at
+    its original dataset index. ``gathered`` is (world, maxlen) uint8,
+    ``sizes`` is (world, 1) true byte counts."""
+    import pickle
+    sizes = np.asarray(sizes).reshape(-1)
+    results: List = [None] * n
+    for r in range(len(sizes)):
+        blob = bytes(np.asarray(gathered[r])[:int(sizes[r])])
         for i, res in pickle.loads(blob):
             results[i] = res
     return results
