@@ -91,6 +91,16 @@ def train_detector(model, dataset, cfg, distributed: bool = False,
     loader_cfg.setdefault('canvas_short', canvas_short)
     logger.info(f'Train canvas: {canvas_long}x{canvas_short} '
                 f'(landscape; derived from pipeline)')
+    # C++ batch loader for the canonical mstrain recipe (decode +
+    # rescale + flip + normalize + pad GIL-free); silently falls back
+    # to the Python/cv2 pipeline for any other transform stack
+    if 'native_plan' not in loader_cfg:
+        from ..datasets.builder import derive_native_train_plan
+        plan = derive_native_train_plan(dataset,
+                                        seed=cfg.get('seed', 0) or 0)
+        if plan is not None:
+            loader_cfg['native_plan'] = plan
+            logger.info('Native C++ train loader engaged')
     train_loader = build_dataloader(
         dataset, samples_per_gpu=samples_per_gpu,
         workers_per_gpu=cfg.data.workers_per_gpu, num_gpus=n_dev,

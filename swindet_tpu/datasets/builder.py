@@ -262,12 +262,89 @@ def collate_detection(samples: List[dict],
     return batch
 
 
+class NativeTrainPlan:
+    """Parameters for the C++ train-batch fast path (VERDICT r4 ask #7).
+
+    Extracted by :func:`derive_native_train_plan` from the canonical
+    mstrain pipeline (LoadImageFromFile / LoadAnnotations / Resize
+    keep-ratio value|range / RandomFlip / Normalize / Pad / bundle /
+    Collect). The host samples each image's scale branch + flip coin
+    and transforms annotations in numpy; the native thread pool does
+    decode + rescale + flip + normalize + pad GIL-free
+    (native/image_ops.cpp image_load_batch_train).
+    """
+
+    def __init__(self, scales, multiscale_mode, flip_ratio, mean, std,
+                 to_rgb, with_mask, seed=0):
+        self.scales = [tuple(s) for s in scales]
+        self.multiscale_mode = multiscale_mode
+        self.flip_ratio = float(flip_ratio or 0.0)
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.to_rgb = bool(to_rgb)
+        self.with_mask = bool(with_mask)
+        self.seed = int(seed)
+
+    def sample_scales(self, rng, n):
+        longs = np.asarray([max(s) for s in self.scales])
+        shorts = np.asarray([min(s) for s in self.scales])
+        if len(self.scales) == 1:
+            le = np.full(n, longs[0])
+            se = np.full(n, shorts[0])
+        elif self.multiscale_mode == 'value':
+            pick = rng.randint(len(self.scales), size=n)
+            le, se = longs[pick], shorts[pick]
+        else:  # 'range' — uniform over the edge intervals
+            le = rng.randint(longs.min(), longs.max() + 1, size=n)
+            se = rng.randint(shorts.min(), shorts.max() + 1, size=n)
+        flips = rng.rand(n) < self.flip_ratio
+        return le.astype(np.int64), se.astype(np.int64), flips
+
+
+def derive_native_train_plan(dataset, seed: int = 0):
+    """Return a NativeTrainPlan when the dataset's pipeline matches the
+    canonical mstrain recipe and the native image library is built;
+    None → the Python/cv2 per-sample pipeline is used."""
+    from ..native import image_available
+    if not image_available():
+        return None
+    tfs = getattr(getattr(dataset, 'pipeline', None), 'transforms',
+                  None)
+    if tfs is None or not hasattr(dataset, 'get_ann_info') \
+            or not hasattr(dataset, 'data_infos'):
+        return None
+    names = [type(t).__name__ for t in tfs]
+    want = ['LoadImageFromFile', 'LoadAnnotations', 'Resize',
+            'RandomFlip', 'Normalize', 'Pad', 'DefaultFormatBundle',
+            'Collect']
+    if names != want:
+        return None
+    load_ann, resize, flip, norm, pad = tfs[1], tfs[2], tfs[3], tfs[4], \
+        tfs[5]
+    if (not resize.keep_ratio or resize.ratio_range is not None
+            or resize.img_scale is None
+            or resize.interpolation != 'bilinear'
+            or not resize.bbox_clip_border):
+        return None
+    if flip.direction != 'horizontal':
+        return None
+    if getattr(pad, 'size', None) is not None:
+        return None
+    return NativeTrainPlan(
+        scales=resize.img_scale, multiscale_mode=resize.multiscale_mode,
+        flip_ratio=flip.flip_ratio, mean=norm.mean, std=norm.std,
+        to_rgb=norm.to_rgb, with_mask=load_ann.with_mask, seed=seed)
+
+
 class DetDataLoader:
     """Threaded prefetching loader yielding static-shape numpy batches.
 
     Group-aware: every batch comes from one aspect-ratio group and is
     padded to that group's fixed canvas (landscape (max_short, max_long),
     portrait transposed), keeping jit programs to 2.
+
+    With a ``native_plan`` the canonical mstrain pipeline runs through
+    the C++ batch loader instead of the per-sample Python/cv2 pipeline.
     """
 
     def __init__(self, dataset, batch_size: int,
@@ -275,7 +352,7 @@ class DetDataLoader:
                  max_gts: int = 100, with_mask: bool = True,
                  num_replicas: int = 1, rank: int = 0, seed: int = 0,
                  shuffle: bool = True, num_workers: int = 4,
-                 prefetch: int = 4):
+                 prefetch: int = 4, native_plan=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.canvas_long = canvas_long
@@ -284,6 +361,8 @@ class DetDataLoader:
         self.with_mask = with_mask
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.native_plan = native_plan
+        self._epoch = 0
         flags = getattr(dataset, 'flag',
                         np.zeros(len(dataset), np.uint8))
         self.sampler = GroupBatchSampler(flags, batch_size, num_replicas,
@@ -294,6 +373,7 @@ class DetDataLoader:
         return len(self.sampler)
 
     def set_epoch(self, epoch: int):
+        self._epoch = epoch
         self.sampler.set_epoch(epoch)
 
     def _canvas_for(self, idx: int) -> Tuple[int, int]:
@@ -302,11 +382,90 @@ class DetDataLoader:
         return self.canvas_long, self.canvas_short
 
     def _load_batch(self, indices: List[int]) -> Dict[str, np.ndarray]:
+        if self.native_plan is not None:
+            return self._load_batch_native(indices)
         samples = [self.dataset[i] for i in indices]
         return collate_detection(samples,
                                  canvas=self._canvas_for(indices[0]),
                                  max_gts=self.max_gts,
                                  with_mask=self.with_mask)
+
+    def _load_batch_native(self, indices: List[int]
+                           ) -> Dict[str, np.ndarray]:
+        """mstrain batch through the C++ loader: sample scales/flips,
+        native decode+rescale+flip+normalize+pad, numpy annotation
+        transforms mirroring Resize/RandomFlip exactly."""
+        import os.path as osp
+        from ..native import image_load_batch_train
+        from ..core.masks import poly2mask, rle_to_mask
+        from .pipelines.transforms import _imresize
+        plan = self.native_plan
+        ds = self.dataset
+        n = len(indices)
+        ch, cw = self._canvas_for(indices[0])
+        rng = np.random.RandomState(
+            (plan.seed + 1000003 * self._epoch + 7919 * indices[0])
+            % (2 ** 31))
+        le, se, flips = plan.sample_scales(rng, n)
+        paths = [osp.join(ds.img_prefix,
+                          ds.data_infos[i]['file_name'])
+                 for i in indices]
+        imgs, shapes, wh_scales = image_load_batch_train(
+            paths, (ch, cw), le, se, flips, plan.mean, plan.std,
+            plan.to_rgb, threads=2)
+
+        m = self.max_gts
+        gt_bboxes = np.zeros((n, m, 4), np.float32)
+        gt_valid = np.zeros((n, m), bool)
+        gt_labels = np.zeros((n, m), np.int32)
+        masks_out = (np.zeros((n, m, ch, cw), np.float32)
+                     if (self.with_mask and plan.with_mask) else None)
+        metas = []
+        for bi, i in enumerate(indices):
+            ann = ds.get_ann_info(i)
+            info = ds.data_infos[i]
+            oh, ow = int(shapes[bi, 0]), int(shapes[bi, 1])
+            ws, hs = float(wh_scales[bi, 0]), float(wh_scales[bi, 1])
+            boxes = ann['bboxes'].astype(np.float32)
+            g = min(len(boxes), m)
+            b = boxes[:g] * np.array([ws, hs, ws, hs], np.float32)
+            b[:, 0::2] = np.clip(b[:, 0::2], 0, ow)
+            b[:, 1::2] = np.clip(b[:, 1::2], 0, oh)
+            if flips[bi]:
+                b[:, [0, 2]] = ow - b[:, [2, 0]]
+            gt_bboxes[bi, :g] = b
+            gt_valid[bi, :g] = True
+            gt_labels[bi, :g] = ann['labels'][:g]
+            if masks_out is not None and g:
+                ih, iw = info['height'], info['width']
+                for j in range(g):
+                    mk = ann['masks'][j]
+                    if isinstance(mk, list):
+                        bm = poly2mask(mk, ih, iw)
+                    elif isinstance(mk, dict):
+                        bm = rle_to_mask(mk)
+                    else:
+                        bm = np.asarray(mk, bool)
+                    bm = _imresize(bm.astype(np.uint8), (ow, oh),
+                                   'nearest')
+                    if flips[bi]:
+                        bm = bm[:, ::-1]
+                    masks_out[bi, j, :oh, :ow] = bm
+            metas.append(dict(
+                img_shape=(oh, ow, 3), pad_shape=(ch, cw, 3),
+                ori_shape=(info['height'], info['width'], 3),
+                scale_factor=np.array([ws, hs, ws, hs], np.float32),
+                flip=bool(flips[bi]), flip_direction='horizontal',
+                filename=paths[bi]))
+        batch = dict(
+            img=imgs,
+            img_shapes=np.asarray(shapes, np.int32),
+            pad_shapes=np.asarray([[ch, cw]] * n, np.int32),
+            gt_bboxes=gt_bboxes, gt_valid=gt_valid,
+            gt_labels=gt_labels, img_metas=metas)
+        if masks_out is not None:
+            batch['gt_masks'] = masks_out
+        return batch
 
     def __iter__(self):
         batches = list(self.sampler)

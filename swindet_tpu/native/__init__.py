@@ -181,6 +181,11 @@ def _build_and_load_image():
             ctypes.POINTER(ctypes.c_char_p), i64, f32p, i64, i64, i64,
             i64, f32p, f32p, ctypes.c_int, i64p, f32p, ctypes.c_int]
         lib.image_load_batch.restype = ctypes.c_int
+        lib.image_load_batch_train.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), i64, f32p, i64, i64, i64p,
+            i64p, u8p, f32p, f32p, ctypes.c_int, i64p, f32p,
+            ctypes.c_int]
+        lib.image_load_batch_train.restype = ctypes.c_int
         _IMG_LIB = lib
     except Exception:
         _IMG_LIB = None
@@ -243,4 +248,37 @@ def image_load_batch(paths, canvas_hw, scale_long_short, mean, std,
                          _ptr(std, ctypes.c_float), int(to_rgb),
                          _ptr(shapes, ctypes.c_int64),
                          _ptr(scales, ctypes.c_float), int(threads))
+    return out, shapes, scales
+
+
+def image_load_batch_train(paths, canvas_hw, long_edges, short_edges,
+                           flips, mean, std, to_rgb: bool = True,
+                           threads: int = 4):
+    """Train-pipeline batch: per-sample keep-ratio rescale to
+    (long_edges[i], short_edges[i]) + optional horizontal flip (mmdet
+    order Resize -> RandomFlip) + normalize + pad, with the native
+    GIL-free thread pool. The host samples each image's mstrain /
+    AutoAugment scale branch and flip coin; this does the pixel work.
+    Returns (imgs (N, ch, cw, 3) float32, shapes (N, 2) int64,
+    scales (N, 2) float32 (w_scale, h_scale))."""
+    lib = _build_and_load_image()
+    n = len(paths)
+    ch, cw = canvas_hw
+    threads = max(1, min(threads, os.cpu_count() or 1, n))
+    out = np.empty((n, ch, cw, 3), np.float32)
+    shapes = np.empty((n, 2), np.int64)
+    scales = np.empty((n, 2), np.float32)
+    le = _as(np.asarray(long_edges, np.int64), np.int64)
+    se = _as(np.asarray(short_edges, np.int64), np.int64)
+    fl = _as(np.asarray(flips, np.uint8), np.uint8)
+    mean = _as(np.asarray(mean, np.float32), np.float32)
+    std = _as(np.asarray(std, np.float32), np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.image_load_batch_train(
+        arr, n, _ptr(out, ctypes.c_float), ch, cw,
+        _ptr(le, ctypes.c_int64), _ptr(se, ctypes.c_int64),
+        _ptr(fl, ctypes.c_uint8), _ptr(mean, ctypes.c_float),
+        _ptr(std, ctypes.c_float), int(to_rgb),
+        _ptr(shapes, ctypes.c_int64), _ptr(scales, ctypes.c_float),
+        int(threads))
     return out, shapes, scales

@@ -257,4 +257,78 @@ int image_load_batch(const char** paths, int64_t n, float* out,
   return static_cast<int>(failed.load());
 }
 
+// Train-pipeline variant: per-sample (long, short) resize target +
+// optional horizontal flip AFTER the resize (mmdet order:
+// Resize -> RandomFlip -> Normalize -> Pad). Covers the mstrain /
+// AutoAugment value-mode recipes: the host samples each image's scale
+// branch and flip coin, this does the pixel work GIL-free.
+int image_load_batch_train(const char** paths, int64_t n, float* out,
+                           int64_t ch, int64_t cw,
+                           const int64_t* long_edges,
+                           const int64_t* short_edges,
+                           const uint8_t* flips, const float* mean,
+                           const float* stdv, int to_rgb,
+                           int64_t* out_shapes, float* out_scales,
+                           int threads) {
+  std::atomic<int64_t> next(0);
+  std::atomic<int64_t> failed(0);
+  std::memset(out, 0, sizeof(float) * n * ch * cw * 3);
+
+  auto work = [&]() {
+    std::vector<uint8_t> raw, resized;
+    for (;;) {
+      const int64_t i = next.fetch_add(1);
+      if (i >= n) return;
+      int64_t h = 0, w = 0;
+      if (decode_any(paths[i], raw, &h, &w)) {
+        int64_t expect = 0;
+        failed.compare_exchange_strong(expect, i + 1);
+        out_shapes[i * 2] = out_shapes[i * 2 + 1] = 0;
+        out_scales[i * 2] = out_scales[i * 2 + 1] = 1.0f;
+        continue;
+      }
+      const int64_t le = long_edges[i], se = short_edges[i];
+      const int64_t mx = h > w ? h : w, mn = h > w ? w : h;
+      double scale = 1.0;
+      if (le > 0) {
+        scale = std::fmin(static_cast<double>(le) / mx,
+                          static_cast<double>(se) / mn);
+      }
+      int64_t oh = static_cast<int64_t>(h * scale + 0.5);
+      int64_t ow = static_cast<int64_t>(w * scale + 0.5);
+      if (oh > ch) oh = ch;
+      if (ow > cw) ow = cw;
+      resized.resize(oh * ow * 3);
+      resize_bilinear(raw.data(), h, w, resized.data(), oh, ow);
+      if (flips[i]) {
+        for (int64_t y = 0; y < oh; ++y) {
+          uint8_t* row = resized.data() + y * ow * 3;
+          for (int64_t x = 0; x < ow / 2; ++x) {
+            for (int c = 0; c < 3; ++c) {
+              std::swap(row[x * 3 + c], row[(ow - 1 - x) * 3 + c]);
+            }
+          }
+        }
+      }
+      normalize_into(resized.data(), oh, ow, out + i * ch * cw * 3, ch,
+                     cw, mean, stdv, to_rgb);
+      out_shapes[i * 2] = oh;
+      out_shapes[i * 2 + 1] = ow;
+      out_scales[i * 2] = static_cast<float>(ow) / w;
+      out_scales[i * 2 + 1] = static_cast<float>(oh) / h;
+    }
+  };
+
+  if (threads <= 1 || n == 1) {
+    work();
+  } else {
+    const int t = threads < n ? threads : static_cast<int>(n);
+    std::vector<std::thread> pool;
+    pool.reserve(t);
+    for (int k = 0; k < t; ++k) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+  }
+  return static_cast<int>(failed.load());
+}
+
 }  // extern "C"
