@@ -164,7 +164,7 @@ def build_norm(norm_cfg: Optional[dict], name: str = 'norm',
                             eps=norm_cfg.get('eps', 1e-5))
     if t == 'LN':
         return _NormWrapper(kind='ln', name=name,
-                            eps=norm_cfg.get('eps', 1e-6))
+                            eps=norm_cfg.get('eps', 1e-5))
     raise KeyError(f'Unknown norm type {t}')
 
 

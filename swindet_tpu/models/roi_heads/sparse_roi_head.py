@@ -64,7 +64,7 @@ class DIIHead(nn.Module):
         self.attention = MultiHeadAttention(d, self.num_heads,
                                             self.dropout, self.dtype,
                                             name='attention')
-        self.attention_norm = nn.LayerNorm(dtype=self.dtype,
+        self.attention_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                            name='attention_norm')
         dcfg = dict(self.dynamic_conv_cfg or dict(
             in_channels=d, feat_channels=64, out_channels=d,
@@ -74,19 +74,19 @@ class DIIHead(nn.Module):
         dcfg.pop('norm_cfg', None)
         self.instance_interactive_conv = DynamicConv(
             dtype=self.dtype, name='instance_interactive_conv', **dcfg)
-        self.iic_norm = nn.LayerNorm(dtype=self.dtype, name='iic_norm')
+        self.iic_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='iic_norm')
         self.ffn = FFN(d, self.feedforward_channels, self.num_ffn_fcs,
                        self.dropout, dtype=self.dtype, name='ffn')
-        self.ffn_norm = nn.LayerNorm(dtype=self.dtype, name='ffn_norm')
+        self.ffn_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='ffn_norm')
         self.cls_fcs = [
             (nn.Dense(d, use_bias=False, dtype=self.dtype,
                       name=f'cls_fc{i}'),
-             nn.LayerNorm(dtype=self.dtype, name=f'cls_ln{i}'))
+             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f'cls_ln{i}'))
             for i in range(self.num_cls_fcs)]
         self.reg_fcs = [
             (nn.Dense(d, use_bias=False, dtype=self.dtype,
                       name=f'reg_fc{i}'),
-             nn.LayerNorm(dtype=self.dtype, name=f'reg_ln{i}'))
+             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f'reg_ln{i}'))
             for i in range(self.num_reg_fcs)]
         out_cls = self.num_classes if self.use_sigmoid_cls \
             else self.num_classes + 1

@@ -165,11 +165,11 @@ class DetrTransformerEncoderLayer(nn.Module):
             x, x, x, query_pos=pos, key_pos=pos,
             key_padding_mask=key_padding_mask,
             deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name='norm1')(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm1')(x)
         x = FFN(self.embed_dims, self.feedforward_channels, self.num_fcs,
                 self.dropout, dtype=self.dtype, name='ffn')(
             x, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name='norm2')(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm2')(x)
 
 
 class DetrTransformerDecoderLayer(nn.Module):
@@ -189,18 +189,18 @@ class DetrTransformerDecoderLayer(nn.Module):
                                self.dropout, self.dtype, name='self_attn')(
             x, x, x, query_pos=query_pos, key_pos=query_pos,
             deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name='norm1')(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm1')(x)
         x = MultiHeadAttention(self.embed_dims, self.num_heads,
                                self.dropout, self.dtype,
                                name='cross_attn')(
             x, memory, memory, query_pos=query_pos, key_pos=memory_pos,
             key_padding_mask=memory_key_padding_mask,
             deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name='norm2')(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm2')(x)
         x = FFN(self.embed_dims, self.feedforward_channels, self.num_fcs,
                 self.dropout, dtype=self.dtype, name='ffn')(
             x, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name='norm3')(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm3')(x)
 
 
 class DetrTransformer(nn.Module):
@@ -237,7 +237,7 @@ class DetrTransformer(nn.Module):
         q = jnp.broadcast_to(query_embed[None].astype(self.dtype),
                              (b,) + query_embed.shape)
         tgt = jnp.zeros_like(q)
-        final_ln = nn.LayerNorm(dtype=self.dtype, name='dec_norm')
+        final_ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='dec_norm')
         inter = []
         for i in range(self.num_decoder_layers):
             tgt = DetrTransformerDecoderLayer(
@@ -277,12 +277,12 @@ class DynamicConv(nn.Module):
                                         self.feat_channels)
         p_out = params[:, n_in:].reshape(-1, self.feat_channels, out_c)
         feats = jnp.einsum('nsc,ncf->nsf', input_feature, p_in)
-        feats = nn.relu(nn.LayerNorm(dtype=self.dtype, name='norm_in')(
+        feats = nn.relu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm_in')(
             feats))
         feats = jnp.einsum('nsf,nfo->nso', feats, p_out)
-        feats = nn.relu(nn.LayerNorm(dtype=self.dtype, name='norm_out')(
+        feats = nn.relu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm_out')(
             feats))
         feats = feats.reshape(feats.shape[0], -1)
         feats = nn.Dense(out_c, dtype=self.dtype, name='fc_layer')(feats)
-        return nn.relu(nn.LayerNorm(dtype=self.dtype, name='fc_norm')(
+        return nn.relu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='fc_norm')(
             feats))

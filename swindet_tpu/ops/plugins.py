@@ -55,7 +55,7 @@ class ContextBlock(nn.Module):
         def transform(name):
             t = nn.Conv(planes, (1, 1), dtype=jnp.float32,
                         name=f'{name}.0')(context)
-            t = nn.LayerNorm(dtype=jnp.float32, name=f'{name}.1')(t)
+            t = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f'{name}.1')(t)
             t = nn.relu(t)
             return nn.Conv(c, (1, 1), dtype=jnp.float32,
                            kernel_init=nn.initializers.zeros,

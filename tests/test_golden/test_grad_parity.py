@@ -87,3 +87,21 @@ def test_grad_parity_ga_retina():
     from tests.test_golden.test_e2e_single_stage_parity5 import \
         tiny_ga_retina_cfg
     grad_parity(tiny_ga_retina_cfg(), img_hw=HW)
+
+
+def test_grad_parity_atss():
+    from tests.test_golden.test_e2e_single_stage_parity2 import \
+        tiny_atss_cfg
+    grad_parity(tiny_atss_cfg(), img_hw=HW)
+
+
+def test_grad_parity_gfl():
+    from tests.test_golden.test_e2e_single_stage_parity2 import \
+        tiny_gfl_cfg
+    grad_parity(tiny_gfl_cfg(), img_hw=HW)
+
+
+def test_grad_parity_detr():
+    """Transformer backward + Hungarian assignment (deterministic)."""
+    from tests.test_golden.test_e2e_detr_parity import tiny_detr_cfg
+    grad_parity(tiny_detr_cfg(), img_hw=HW)
