@@ -161,18 +161,19 @@ class SparseRoIHead(nn.Module):
             tr = [tr] * self.num_stages
         assigners = []
         for cfg in tr:
+            # reference sparse_rcnn configs use BBoxL1Cost's DEFAULT
+            # box_format='xyxy' (configs/sparse_rcnn/*.py:82; the
+            # match_cost docstring's "'xywh' for Sparse_RCNN" comment
+            # describes an option no shipped config takes) — forcing
+            # xywh here changed the Hungarian matching, caught by
+            # test_grad_parity_sparse_rcnn
             acfg = dict((cfg or {}).get('assigner', dict(
                 type='HungarianAssigner',
                 cls_cost=dict(type='FocalLossCost', weight=2.0),
-                reg_cost=dict(type='BBoxL1Cost', weight=5.0,
-                              box_format='xywh'),
+                reg_cost=dict(type='BBoxL1Cost', weight=5.0),
                 iou_cost=dict(type='IoUCost', iou_mode='giou',
                               weight=2.0))))
             acfg.pop('type', None)
-            reg = dict(acfg.get('reg_cost') or dict(type='BBoxL1Cost',
-                                                    weight=5.0))
-            reg.setdefault('box_format', 'xywh')
-            acfg['reg_cost'] = reg
             assigners.append(HungarianAssigner(**acfg))
         self._assigners = assigners
 
@@ -200,15 +201,20 @@ class SparseRoIHead(nn.Module):
                       gt_labels) -> Dict[str, jnp.ndarray]:
         losses: Dict[str, jnp.ndarray] = {}
         for stage in range(self.num_stages):
+            # reference detaches proposals BETWEEN stages
+            # (sparse_roi_head.py detach_proposal_list) but NOT into
+            # stage 0 — the learnable EmbeddingRPN init boxes receive
+            # gradients through the stage-0 delta decode (RoI-box grads
+            # through RoIAlign itself are zero on both sides, mmcv
+            # parity). Caught by test_grad_parity_sparse_rcnn.
             cls_score, new_props, object_feats = self._stage_forward(
-                stage, feats, jax.lax.stop_gradient(proposals),
-                object_feats, train=True)
+                stage, feats, proposals, object_feats, train=True)
             sl = self._stage_loss(stage, cls_score, new_props, imgs_whwh,
                                   gt_bboxes, gt_valid, gt_labels)
             w = self.stage_loss_weights[stage]
             for k, v in sl.items():
                 losses[f'stage{stage}_{k}'] = v * w
-            proposals = new_props
+            proposals = jax.lax.stop_gradient(new_props)
         return losses
 
     def _stage_loss(self, stage, cls_score, proposals, imgs_whwh,

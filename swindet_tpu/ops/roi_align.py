@@ -109,6 +109,12 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray],
     Returns:
         (R, out_size, out_size, C)
     """
+    # mmcv's roi_align backward produces NO roi-coordinate gradient
+    # (input grads only); the Pallas path's custom VJP already matches
+    # that, and this XLA formulation must too — otherwise roi-grad
+    # behavior is platform-dependent and Sparse R-CNN's learnable init
+    # proposals train differently (caught by test_grad_parity_sparse_rcnn)
+    rois = jax.lax.stop_gradient(rois)
     num_levels = len(feats)
     b = feats[0].shape[0]
     c = feats[0].shape[-1]

@@ -49,6 +49,11 @@ def _bilinear(feat, ys, xs):
 def roi_align(input, rois, output_size, spatial_scale=1.0,
               sampling_ratio=0, pool_mode='avg', aligned=True):
     assert pool_mode == 'avg', 'only avg pool implemented in shim'
+    # mmcv's CUDA backward produces NO roi-coordinate gradient (input
+    # grads only); autograd through this pure-torch bilinear sampling
+    # would invent one (visible via Sparse R-CNN's learnable init
+    # proposals), so detach to match the real op's semantics
+    rois = rois.detach()
     out_h, out_w = _pair(output_size)
     n = rois.shape[0]
     chans = input.shape[1]

@@ -105,3 +105,16 @@ def test_grad_parity_detr():
     """Transformer backward + Hungarian assignment (deterministic)."""
     from tests.test_golden.test_e2e_detr_parity import tiny_detr_cfg
     grad_parity(tiny_detr_cfg(), img_hw=HW)
+
+
+def test_grad_parity_sparse_rcnn():
+    """6-stage DII head: per-stage Hungarian assignment (deterministic),
+    dynamic-conv instance interaction, proposal-box stop_gradients
+    between stages — plus the LN-eps surface this harness caught for
+    DETR."""
+    from tests.test_golden.test_e2e_sparse_rcnn_parity import \
+        tiny_sparse_rcnn_cfg
+    # atol floor: attention k-proj bias grads are mathematically zero
+    # (softmax is invariant to a constant shift of all key logits), so
+    # both sides compute ~1e-7 fp dust on a null direction
+    grad_parity(tiny_sparse_rcnn_cfg(), img_hw=HW, atol=1e-6)
