@@ -74,7 +74,11 @@ def _ln_fwd_impl(x, scale, bias, eps, interpret):
         tokens *= s
     xf = x.reshape(tokens, c)
 
-    tok_blk = min(1024, tokens)
+    # VMEM gate: the kernel holds ~12 B/element (bf16 in+out + fp32
+    # working copies); wide rows (Swin-B stage-3 merge norm is C=2048)
+    # overflow the 16 MB scoped budget at the default 1024-row block
+    tok_blk = min(1024, tokens,
+                  max(8, (10_000_000 // (12 * c)) // 8 * 8))
     grid = (pl.cdiv(tokens, tok_blk),)
     out = pl.pallas_call(
         functools.partial(_ln_kernel, eps=eps),
