@@ -118,3 +118,9 @@ def test_grad_parity_sparse_rcnn():
     # (softmax is invariant to a constant shift of all key logits), so
     # both sides compute ~1e-7 fp dust on a null direction
     grad_parity(tiny_sparse_rcnn_cfg(), img_hw=HW, atol=1e-6)
+
+
+def test_grad_parity_cascade_mask():
+    """Cascade Mask R-CNN: stage detaches + per-stage mask branch."""
+    cfg = _exhaustive_two_stage(tiny_cascade_cfg(with_mask=True))
+    grad_parity(cfg, img_hw=HW, with_mask=True)
