@@ -85,8 +85,16 @@ def train_detector(model, dataset, cfg, distributed: bool = False,
     # default (1344x832) on a small-resolution config is nearly all
     # zero padding, whose constant tokens explode LayerNorm gradients
     from ..datasets.builder import derive_canvas
+    # unwrap dataset wrappers (RepeatDataset/ClassBalancedDataset/...)
+    # whose pipeline lives on the nested 'dataset' key — otherwise a
+    # small-canvas config silently falls back to the COCO default
+    # (advisor r4)
+    train_cfg_ds = cfg.data.train
+    while ('pipeline' not in train_cfg_ds
+           and 'dataset' in train_cfg_ds):
+        train_cfg_ds = train_cfg_ds['dataset']
     canvas_long, canvas_short = derive_canvas(
-        cfg.data.train.get('pipeline', []))
+        train_cfg_ds.get('pipeline', []))
     loader_cfg.setdefault('canvas_long', canvas_long)
     loader_cfg.setdefault('canvas_short', canvas_short)
     logger.info(f'Train canvas: {canvas_long}x{canvas_short} '

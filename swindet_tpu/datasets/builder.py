@@ -275,8 +275,13 @@ class NativeTrainPlan:
     """
 
     def __init__(self, scales, multiscale_mode, flip_ratio, mean, std,
-                 to_rgb, with_mask, seed=0):
+                 to_rgb, with_mask, seed=0, pad_divisor=32,
+                 autoaug_branches=None):
         self.scales = [tuple(s) for s in scales]
+        self.pad_divisor = int(pad_divisor)
+        # AutoAugment two-branch form (flagship Swin recipe): a list of
+        # branch descriptors; None → plain single-Resize recipe
+        self.autoaug_branches = autoaug_branches
         self.multiscale_mode = multiscale_mode
         self.flip_ratio = float(flip_ratio or 0.0)
         self.mean = np.asarray(mean, np.float32)
@@ -333,7 +338,8 @@ def derive_native_train_plan(dataset, seed: int = 0):
     return NativeTrainPlan(
         scales=resize.img_scale, multiscale_mode=resize.multiscale_mode,
         flip_ratio=flip.flip_ratio, mean=norm.mean, std=norm.std,
-        to_rgb=norm.to_rgb, with_mask=load_ann.with_mask, seed=seed)
+        to_rgb=norm.to_rgb, with_mask=load_ann.with_mask, seed=seed,
+        pad_divisor=getattr(pad, 'size_divisor', None) or 32)
 
 
 class DetDataLoader:
@@ -418,8 +424,13 @@ class DetDataLoader:
         gt_bboxes = np.zeros((n, m, 4), np.float32)
         gt_valid = np.zeros((n, m), bool)
         gt_labels = np.zeros((n, m), np.int32)
-        masks_out = (np.zeros((n, m, ch, cw), np.float32)
+        masks_out = (np.zeros((n, m, ch, cw), np.uint8)
                      if (self.with_mask and plan.with_mask) else None)
+        # per-sample divisor-rounded pad shapes — match the Python
+        # collate path / reference valid_flags semantics, NOT the full
+        # static canvas (advisor r4 high)
+        div = getattr(plan, 'pad_divisor', 32)
+        pad_shapes = np.zeros((n, 2), np.int32)
         metas = []
         for bi, i in enumerate(indices):
             ann = ds.get_ann_info(i)
@@ -451,8 +462,10 @@ class DetDataLoader:
                     if flips[bi]:
                         bm = bm[:, ::-1]
                     masks_out[bi, j, :oh, :ow] = bm
+            ph, pw = _round_up(oh, div), _round_up(ow, div)
+            pad_shapes[bi] = (ph, pw)
             metas.append(dict(
-                img_shape=(oh, ow, 3), pad_shape=(ch, cw, 3),
+                img_shape=(oh, ow, 3), pad_shape=(ph, pw, 3),
                 ori_shape=(info['height'], info['width'], 3),
                 scale_factor=np.array([ws, hs, ws, hs], np.float32),
                 flip=bool(flips[bi]), flip_direction='horizontal',
@@ -460,7 +473,7 @@ class DetDataLoader:
         batch = dict(
             img=imgs,
             img_shapes=np.asarray(shapes, np.int32),
-            pad_shapes=np.asarray([[ch, cw]] * n, np.int32),
+            pad_shapes=pad_shapes,
             gt_bboxes=gt_bboxes, gt_valid=gt_valid,
             gt_labels=gt_labels, img_metas=metas)
         if masks_out is not None:

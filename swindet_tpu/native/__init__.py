@@ -274,11 +274,17 @@ def image_load_batch_train(paths, canvas_hw, long_edges, short_edges,
     mean = _as(np.asarray(mean, np.float32), np.float32)
     std = _as(np.asarray(std, np.float32), np.float32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    lib.image_load_batch_train(
+    rc = lib.image_load_batch_train(
         arr, n, _ptr(out, ctypes.c_float), ch, cw,
         _ptr(le, ctypes.c_int64), _ptr(se, ctypes.c_int64),
         _ptr(fl, ctypes.c_uint8), _ptr(mean, ctypes.c_float),
         _ptr(std, ctypes.c_float), int(to_rgb),
         _ptr(shapes, ctypes.c_int64), _ptr(scales, ctypes.c_float),
         int(threads))
+    if rc:
+        # match the Python pipeline, which raises on an unreadable
+        # image, instead of silently training on a zero canvas with
+        # live GT boxes (advisor r4)
+        raise IOError(
+            f'native train loader: failed to decode {paths[rc - 1]!r}')
     return out, shapes, scales

@@ -89,6 +89,11 @@ def test_native_matches_python_deterministic(tmp_path, flip_ratio):
         assert bn['img'].shape == bp['img'].shape
         np.testing.assert_array_equal(bn['img_shapes'],
                                       bp['img_shapes'])
+        # per-sample divisor-rounded pad shapes, NOT the full canvas —
+        # anchor valid_flags depend on this (advisor r4 high)
+        np.testing.assert_array_equal(bn['pad_shapes'],
+                                      bp['pad_shapes'])
+        assert bn['gt_masks'].dtype == bp['gt_masks'].dtype
         # u8 bilinear resample: native is within +-1 LSB of cv2; after
         # Normalize(std~57) one LSB is ~0.0175
         assert np.abs(bn['img'] - bp['img']).max() <= 0.06
