@@ -342,7 +342,12 @@ def convert_torch_state_dict(
             k = k[len('module.'):]
         if k.startswith('encoder.'):  # MoBY SSL checkpoints
             k = k[len('encoder.'):]
-        sd[k] = np.asarray(v.numpy() if hasattr(v, 'numpy') else v)
+        # np.array (copy) rather than np.asarray: torch .numpy() views
+        # share storage with the live tensor, and jnp.asarray is
+        # zero-copy for aligned fp64 on CPU — converting a LIVE model's
+        # state_dict must snapshot, or a later in-place optimizer step
+        # would mutate the converted tree
+        sd[k] = np.array(v.numpy() if hasattr(v, 'numpy') else v)
 
     sd = _translate_detr_keys(sd)
     sd = _translate_ssd_vgg_keys(sd)
@@ -405,7 +410,10 @@ def convert_torch_state_dict(
             missing.append(tkey)
             new_flat[path] = leaf
             continue
-        src = sd[tkey].astype(np.float32)
+        src = sd[tkey]
+        # fp16/bf16 checkpoints widen to fp32; fp64 stays fp64 so the
+        # optimizer-trajectory parity harness can map exact torch grads
+        src = src if src.dtype == np.float64 else src.astype(np.float32)
         used.add(tkey)
         tgt_shape = tuple(leaf.shape)
         name = path[-1]

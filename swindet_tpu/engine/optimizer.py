@@ -17,12 +17,14 @@ import optax
 
 
 def param_path_name(path: Tuple[Any, ...]) -> str:
-    """flax param path → torch-style dotted name for custom_keys matching.
-
-    ('_backbone','layers0','blocks1','norm1','scale') →
-    'backbone.layers.0.blocks.1.norm1.weight'-ish; for substring matching
-    we only need the dotted join with leading underscores stripped.
-    """
+    """flax param path → the EXACT torch param name the reference's
+    custom_keys substring-match would see (mmcv
+    DefaultOptimizerConstructor matches on ``name`` from
+    named_parameters). Routes through the production converter's
+    path→key mapping so the partition is identical to the reference's
+    param-group partition over the real flagship tree (pinned by
+    tests/test_engine/test_optim_trajectory_parity.py)."""
+    from ..checkpoint import flax_path_to_torch_key
     parts = []
     for p in path:
         key = getattr(p, 'key', None)
@@ -30,8 +32,8 @@ def param_path_name(path: Tuple[Any, ...]) -> str:
             key = getattr(p, 'idx', None)
         if key is None:
             key = str(p)
-        parts.append(str(key).lstrip('_'))
-    return '.'.join(parts)
+        parts.append(str(key))
+    return flax_path_to_torch_key(tuple(parts))
 
 
 def build_multiplier_trees(params, paramwise_cfg: Optional[dict]):
@@ -45,7 +47,9 @@ def build_multiplier_trees(params, paramwise_cfg: Optional[dict]):
     custom_keys = {}
     if paramwise_cfg:
         custom_keys = dict(paramwise_cfg.get('custom_keys', {}))
-    sorted_keys = sorted(custom_keys, key=len, reverse=True)
+    # mmcv DefaultOptimizerConstructor: alphabetical, then stable-sorted
+    # by length descending — longest key wins, ties alphabetical
+    sorted_keys = sorted(sorted(custom_keys), key=len, reverse=True)
 
     def mults(path, leaf):
         name = param_path_name(path)
@@ -62,6 +66,26 @@ def build_multiplier_trees(params, paramwise_cfg: Optional[dict]):
     lr = jax.tree_util.tree_map(lambda t: t[1], both,
                                 is_leaf=lambda x: isinstance(x, tuple))
     return decay, lr
+
+
+def clip_by_global_norm_torch(max_norm: float):
+    """torch.nn.utils.clip_grad_norm_ semantics, exactly: the scale is
+    ``min(max_norm / (total_norm + 1e-6), 1.0)`` — note the 1e-6 in the
+    denominator, which optax.clip_by_global_norm omits. The reference's
+    OptimizerHook.clip_grads routes through torch's version, so
+    trajectory parity requires the epsilon (pinned by
+    tests/test_engine/test_optim_trajectory_parity.py)."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        norm = optax.global_norm(updates)
+        coef = jnp.minimum(max_norm / (norm + 1e-6), 1.0)
+        updates = jax.tree_util.tree_map(lambda g: g * coef, updates)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
 
 
 def _add_decayed_weights_mult(weight_decay: float, decay_mult_tree):
@@ -117,7 +141,9 @@ def build_optimizer(params,
 
     chain = []
     if grad_clip:
-        chain.append(optax.clip_by_global_norm(float(grad_clip['max_norm'])))
+        if int(grad_clip.get('norm_type', 2)) != 2:
+            raise ValueError('only norm_type=2 grad clipping is supported')
+        chain.append(clip_by_global_norm_torch(float(grad_clip['max_norm'])))
 
     if opt_type == 'AdamW':
         b1, b2 = cfg.get('betas', (0.9, 0.999))

@@ -308,9 +308,13 @@ class GridRoIHead(StandardRoIHead):
             boxes = samp.bboxes[:m]
             pos = samp.is_pos[:m]
             gtb = samp.pos_gt_bboxes[:m]
-            # random jitter (reference _random_jitter, amplitude 0.15)
-            off = jax.random.uniform(r, (m, 4), minval=-0.15,
-                                     maxval=0.15)
+            # random jitter (reference _random_jitter, amplitude 0.15;
+            # configurable so the golden gradient-parity test can set 0
+            # to remove the only cross-framework RNG coupling)
+            amp = float(dict(self.train_cfg).get('jitter_amplitude',
+                                                 0.15))
+            off = jax.random.uniform(r, (m, 4), minval=-amp,
+                                     maxval=amp)
             cxcy = (boxes[:, 2:] + boxes[:, :2]) / 2
             wh = jnp.abs(boxes[:, 2:] - boxes[:, :2])
             ncxcy = cxcy + wh * off[:, :2]

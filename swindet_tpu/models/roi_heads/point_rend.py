@@ -196,8 +196,21 @@ class PointRendRoIHead(StandardRoIHead):
         flat_labels = pos_labels.reshape(-1)
         # importance sampling of uncertain points (reference :212)
         n_samp = int(num_points * oversample)
-        coords = jax.random.uniform(point_rng,
-                                    (b * m, n_samp, 2))
+        if cfg.get('deterministic_grid_points'):
+            # test seam for golden gradient parity: the reference's
+            # torch.rand draw is not reproducible cross-framework, so
+            # both sides use the same regular sqrt(P) x sqrt(P) grid
+            # (the importance-sampling top-k that follows stays live)
+            import math
+            s = max(int(math.ceil(math.sqrt(n_samp))), 1)
+            xs = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+            gx, gy = jnp.meshgrid(xs, xs, indexing='xy')
+            grid = jnp.stack([gx.reshape(-1), gy.reshape(-1)],
+                             -1)[:n_samp]
+            coords = jnp.broadcast_to(grid[None], (b * m, n_samp, 2))
+        else:
+            coords = jax.random.uniform(point_rng,
+                                        (b * m, n_samp, 2))
         logits_at = point_sample(mask_pred, coords)          # (R,P,C)
         unc = self._point_head.uncertainty(logits_at, flat_labels)
         n_imp = int(imp_ratio * num_points)
