@@ -23,7 +23,13 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-TILE = 128
+import os as _os
+
+# Score-order tile width. Larger tiles mean fewer sequential tile steps
+# (each a while_loop iteration with real dispatch latency) but a larger
+# (T, T) self-IoU fixpoint; 128 vs 256 is A/B'd on hardware with
+# .dev_scripts/bench_nms.py.
+TILE = int(_os.environ.get('SWINDET_NMS_TILE', 128))
 
 
 class NMSResult(NamedTuple):

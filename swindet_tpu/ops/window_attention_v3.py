@@ -81,19 +81,32 @@ def _wattn3_vjp(qkv, bias, mask, num_heads, interpret):
 
 
 def _wattn3_vjp_fwd(qkv, bias, mask, num_heads, interpret):
+    use_pallas = interpret or jax.default_backend() == 'tpu'
+    if use_pallas:
+        # Save the fp32 softmax probabilities as a residual: the bwd
+        # kernel then skips the s-recompute + softmax entirely (the
+        # dominant VPU cost at N=49 — lanes pad 49→128, so every
+        # softmax pass wastes 2.6x). P is bit-identical to what the
+        # old bwd recomputed, so grads are unchanged. Without remat
+        # this trades ~400 MB of HBM traffic for ~half the bwd VPU
+        # work; under nn.remat the residual is transient (recomputed
+        # at bwd time) either way.
+        out, p = _wattn3_fwd_p_impl(qkv, bias, mask, num_heads,
+                                    interpret)
+        return out, (qkv, p, mask)
     return _wattn3_fwd_impl(qkv, bias, mask, num_heads, interpret), \
         (qkv, bias, mask)
 
 
 def _wattn3_vjp_bwd(num_heads, interpret, res, g):
-    qkv, bias, mask = res
     use_pallas = interpret or jax.default_backend() == 'tpu'
     if use_pallas:
-        dqkv, dbias = _wattn3_bwd_impl(qkv, bias, mask, g, num_heads,
-                                       interpret)
+        qkv, p, mask = res
+        dqkv, dbias = _wattn3_bwd_impl(qkv, p, g, num_heads, interpret)
         # the shift mask is a trace-time constant — no cotangent flows
         # into it in any training graph
         return dqkv, dbias, jnp.zeros_like(mask)
+    qkv, bias, mask = res
     _, vjp = jax.vjp(
         lambda a, b, m: window_attention_reference(a, b, m, num_heads),
         qkv, bias, mask)
@@ -103,12 +116,13 @@ def _wattn3_vjp_bwd(num_heads, interpret, res, g):
 _wattn3_vjp.defvjp(_wattn3_vjp_fwd, _wattn3_vjp_bwd)
 
 
-def _wattn3_bwd_kernel(qkv_ref, bias_ref, mask_ref, g_ref,
+def _wattn3_bwd_kernel(qkv_ref, p_ref, g_ref,
                        dqkv_ref, dbias_ref, *, nh: int, scale: float):
     """Backward of the fused window attention for one window block.
 
-    Recomputes the (wblk, N, N) softmax per head in VMEM (flash-style:
-    the probabilities are never materialized in HBM), then
+    Consumes the fp32 softmax probabilities saved by the forward (no
+    s-recompute, no exp — at N=49 the softmax passes ran on 49→128
+    lane-padded tiles and dominated the kernel), then
       dV = P^T g, dP = g V^T, dS = P*(dP - rowsum(dP*P)),
       dQ = scale * dS K, dK = dS^T (scale*Q), dBias_h += sum_w dS.
     dBias accumulates across the sequential grid into a single block.
@@ -117,7 +131,6 @@ def _wattn3_bwd_kernel(qkv_ref, bias_ref, mask_ref, g_ref,
     wblk, n, c3 = qkv_ref.shape
     c = c3 // 3
     hd = c // nh
-    mask = mask_ref[:]                                # (wblk, N, N) fp32
 
     @pl.when(i == 0)
     def _init():
@@ -129,12 +142,7 @@ def _wattn3_bwd_kernel(qkv_ref, bias_ref, mask_ref, g_ref,
         v = qkv_ref[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd] \
             .astype(jnp.float32)
         gh = g_ref[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
-
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)       # (wblk, N, N)
-        s = s + bias_ref[h][None] + mask
-        p = jax.nn.softmax(s, axis=-1)
+        p = p_ref[h]                                  # (wblk, N, N) fp32
 
         # dV = P^T g  (per window)
         dv = jax.lax.dot_general(
@@ -163,19 +171,17 @@ def _wattn3_bwd_kernel(qkv_ref, bias_ref, mask_ref, g_ref,
 
 
 @functools.partial(jax.jit, static_argnames=('num_heads', 'interpret'))
-def _wattn3_bwd_impl(qkv, bias, mask, g, num_heads, interpret):
+def _wattn3_bwd_impl(qkv, p, g, num_heads, interpret):
     b_, n, c3 = qkv.shape
     c = c3 // 3
     nh = num_heads
     hd = c // nh
     scale = hd ** -0.5
-    nw = mask.shape[0]
 
     # backward holds ~2x the forward live set per block — halve the cap
-    wblk = _pick_wblk(nw if nw > 1 else b_, nh, cap_product=24)
+    wblk = _pick_wblk(b_, nh, cap_product=24)
     if b_ % wblk:
         wblk = 1
-    nmb = nw // wblk if nw > 1 else 1
 
     grid = (b_ // wblk,)
     blk = lambda i: (i, 0, 0)
@@ -187,9 +193,7 @@ def _wattn3_bwd_impl(qkv, bias, mask, g, num_heads, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec((wblk, n, c3), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh, n, n), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((wblk, n, n), lambda i: (i % nmb, 0, 0),
+            pl.BlockSpec((nh, wblk, n, n), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((wblk, n, c), blk, memory_space=pltpu.VMEM),
         ],
@@ -198,9 +202,75 @@ def _wattn3_bwd_impl(qkv, bias, mask, g, num_heads, interpret):
                    pl.BlockSpec((nh, n, n), lambda i: (0, 0, 0),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(qkv, bias, mask if nw > 1 else jnp.broadcast_to(mask, (wblk, n, n)),
-      g)
-    return dqkv, dbias.astype(bias.dtype)
+    )(qkv, p, g)
+    return dqkv, dbias
+
+
+def _wattn3_kernel_p(qkv_ref, bias_ref, mask_ref, out_ref, p_ref, *,
+                     nh: int, scale: float):
+    """Forward that additionally writes the fp32 softmax probabilities
+    (residual for the backward kernel). Same math as _wattn3_kernel."""
+    wblk, n, c3 = qkv_ref.shape
+    c = c3 // 3
+    hd = c // nh
+    mask = mask_ref[:]
+    for h in range(nh):
+        q = qkv_ref[:, :, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
+        k = qkv_ref[:, :, c + h * hd:c + (h + 1) * hd].astype(jnp.float32)
+        v = qkv_ref[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        attn = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        attn = attn + bias_ref[h][None] + mask
+        attn = jax.nn.softmax(attn, axis=-1)
+        p_ref[h] = attn
+        out = jax.lax.dot_general(
+            attn.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out_ref[:, :, h * hd:(h + 1) * hd] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('num_heads', 'interpret'))
+def _wattn3_fwd_p_impl(qkv, bias, mask, num_heads, interpret):
+    """Forward returning (out, p) with p laid out (nh, B_, N, N) fp32 so
+    the backward can block it per window-block."""
+    b_, n, c3 = qkv.shape
+    c = c3 // 3
+    nh = num_heads
+    hd = c // nh
+    scale = hd ** -0.5
+    nw = mask.shape[0]
+
+    wblk = _pick_wblk(nw if nw > 1 else b_, nh, cap_product=24)
+    if b_ % wblk:
+        wblk = 1
+    nmb = nw // wblk if nw > 1 else 1
+
+    grid = (b_ // wblk,)
+    blk = lambda i: (i, 0, 0)
+    kernel = functools.partial(_wattn3_kernel_p, nh=nh, scale=scale)
+    out, p = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((b_, n, c), qkv.dtype),
+                   jax.ShapeDtypeStruct((nh, b_, n, n), jnp.float32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((wblk, n, c3), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, n, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wblk, n, n),
+                         lambda i: (i % nmb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((wblk, n, c), blk,
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((nh, wblk, n, n), lambda i: (0, i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(qkv, bias, mask if nw > 1 else jnp.broadcast_to(
+        mask, (wblk, n, n)))
+    return out, p
 
 
 @functools.partial(jax.jit, static_argnames=('num_heads', 'interpret'))

@@ -44,9 +44,10 @@ def test_fused_nondivisible_batch(rng):
 
 @pytest.mark.parametrize('mask_on', [False, True])
 def test_v3_backward_kernel_matches_lax_vjp(rng, mask_on):
-    """Pallas backward kernel (dqkv, dbias) == jax.vjp over the lax
-    reference (VERDICT r2 item 2 — written bwd instead of recompute)."""
-    from swindet_tpu.ops.window_attention_v3 import _wattn3_bwd_impl
+    """Pallas backward (dqkv, dbias) == jax.vjp over the lax reference,
+    exercised through the production custom_vjp (forward saves the fp32
+    softmax P; backward consumes it — no softmax recompute)."""
+    from swindet_tpu.ops.window_attention_v3 import window_attention_v3
     b_, n, nh, hd = 12, 49, 3, 32
     c = nh * hd
     qkv = jnp.asarray(rng.randn(b_, n, 3 * c).astype(np.float32))
@@ -58,16 +59,22 @@ def test_v3_backward_kernel_matches_lax_vjp(rng, mask_on):
         m[1, 10:, :10] = -100.0
         mask = jnp.asarray(m)
     else:
-        mask = jnp.zeros((1, n, n), jnp.float32)
+        mask = None
     g = jnp.asarray(rng.randn(b_, n, c).astype(np.float32))
 
+    mref = mask if mask is not None else jnp.zeros((1, n, n), jnp.float32)
     _, vjp = jax.vjp(
-        lambda a, b: window_attention_reference(a, b, mask, nh),
+        lambda a, b: window_attention_reference(a, b, mref, nh),
         qkv, bias)
     dqkv_ref, dbias_ref = vjp(g)
 
-    dqkv, dbias = _wattn3_bwd_impl(qkv, bias, mask, g, nh,
-                                   interpret=True)
+    out, vjp_p = jax.vjp(
+        lambda a, b: window_attention_v3(a, b, mask, nh, interpret=True),
+        qkv, bias)
+    ref_out = window_attention_reference(qkv, bias, mref, nh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-5)
+    dqkv, dbias = vjp_p(g)
     np.testing.assert_allclose(np.asarray(dqkv), np.asarray(dqkv_ref),
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(dbias), np.asarray(dbias_ref),
