@@ -58,7 +58,8 @@ def parse_losses(losses: Dict[str, jnp.ndarray]
 
 
 def make_train_step(module, tx: optax.GradientTransformation,
-                    ema_momentum: Optional[float] = None) -> Callable:
+                    ema_momentum: Optional[float] = None,
+                    with_grads: bool = False) -> Callable:
     """Build the pure (state, batch, rng) → (state, metrics) step.
 
     ``batch`` keys: img, img_shapes, pad_shapes, gt_bboxes, gt_valid,
@@ -66,7 +67,11 @@ def make_train_step(module, tx: optax.GradientTransformation,
 
     ``ema_momentum`` enables per-iteration EMA tracking of params
     (reference mmcv EMAHook semantics:
-    ema = (1 - momentum) * ema + momentum * param, momentum ≈ 0.0002)."""
+    ema = (1 - momentum) * ema + momentum * param, momentum ≈ 0.0002).
+
+    ``with_grads`` adds the raw (pre-optimizer, cross-device-averaged)
+    gradient tree to the metrics under 'grads' — debug/testing only
+    (the DP-equivalence suite pins the collective at ~1e-6 with it)."""
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jnp.ndarray):
@@ -108,6 +113,8 @@ def make_train_step(module, tx: optax.GradientTransformation,
                                   opt_state=opt_state, model_state=new_ms,
                                   ema_params=ema)
         log_vars['grad_norm'] = optax.global_norm(grads)
+        if with_grads:
+            log_vars['grads'] = grads
         return new_state, log_vars
 
     return train_step
