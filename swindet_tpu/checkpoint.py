@@ -44,7 +44,8 @@ _NAME_MAP = {
 _INDEXED = re.compile(
     r'^(layers|blocks|lateral_convs|fpn_convs|shared_convs|shared_fcs|'
     r'convs|cls_convs|reg_convs|cls_fcs|reg_fcs|bbox_head|mask_head|'
-    r'reppoints_cls_convs|reppoints_pts_convs|head_convs)(\d+)$')
+    r'reppoints_cls_convs|reppoints_pts_convs|head_convs|'
+    r'convs_bridge|convs_pred)(\d+)$')
 
 
 def flax_path_to_torch_key(path: Tuple[str, ...]) -> str:

@@ -90,6 +90,66 @@ def _gmm_em_1d(x, valid, tol: float = 1e-3, max_iter: int = 100,
     return resp0, loglik
 
 
+def _np_em_single(x, v, tol=1e-3, max_iter=100, reg=1e-6):
+    """numpy float64 twin of :func:`_gmm_em_1d` for one (M,) sample set.
+    Double precision matters: near-symmetric loss clusters (random-init
+    candidates are almost uniformly spaced) make the EM trajectory
+    chaotic, and fp32 converges to a different (also valid) optimum
+    than the reference's host-side sklearn fit. In fp64 the trajectory
+    locks to sklearn's in practice (verified on captured cases)."""
+    import numpy as np
+    x = np.asarray(x, np.float64)
+    v = np.asarray(v, bool)
+    n = max(v.sum(), 1)
+    xv = np.where(v, x, 0.0)
+    big = np.float64(INF)
+    mu = np.array([np.where(v, x, big).min(),
+                   np.where(v, x, -big).max()])
+    var = np.ones(2)
+    w = np.full(2, 0.5)
+    eps10 = 10 * np.finfo(np.float64).eps
+    lb_prev = -np.inf
+
+    def weighted_lp(mu, var, w):
+        return (-0.5 * ((x[:, None] - mu[None]) ** 2 / var[None]
+                        + np.log(2 * np.pi * var[None]))
+                + np.log(np.maximum(w[None], EPS)))
+
+    for _ in range(max_iter):
+        lp = weighted_lp(mu, var, w)
+        lpn = np.logaddexp(lp[:, 0], lp[:, 1])
+        r = np.where(v[:, None], np.exp(lp - lpn[:, None]), 0.0)
+        lb = np.where(v, lpn, 0.0).sum() / n
+        nk = r.sum(0) + eps10
+        mu = (r * xv[:, None]).sum(0) / nk
+        var = (r * (xv ** 2)[:, None]).sum(0) / nk - mu ** 2 + reg
+        w = nk / n
+        w = w / w.sum()
+        if abs(lb - lb_prev) < tol:
+            break
+        lb_prev = lb
+    lp = weighted_lp(mu, var, w)
+    return (lp[:, 0] >= lp[:, 1],
+            np.logaddexp(lp[:, 0], lp[:, 1]).astype(np.float32))
+
+
+def _gmm_em_1d_host(x, valid):
+    """Host fp64 EM via pure_callback — the CPU-backend twin of
+    _gmm_em_1d, mirroring the reference's own design (it ships losses
+    to the host and fits sklearn in double there, paa_head.py:322-341).
+    On TPU the in-graph fp32 EM avoids the per-gt host round-trip; the
+    boundary can differ from sklearn only in near-degenerate symmetric
+    clusters (documented divergence). Gradients don't flow into the
+    assignment (losses are stop_gradient'd)."""
+    x = jax.lax.stop_gradient(x)
+    m = x.shape[-1]
+    return jax.pure_callback(
+        _np_em_single,
+        (jax.ShapeDtypeStruct((m,), jnp.bool_),
+         jax.ShapeDtypeStruct((m,), jnp.float32)),
+        x, valid, vmap_method='sequential')
+
+
 @HEADS.register_module()
 class PAAHead(ATSSHead):
     topk: int = 9
@@ -168,7 +228,9 @@ class PAAHead(ATSSHead):
                 order = jnp.argsort(jnp.where(cv, cl, INF))
                 ci, cl, cv = ci[order], cl[order], cv[order]
                 enough = jnp.sum(cv) >= 2
-                resp0, loglik = _gmm_em_1d(jnp.where(cv, cl, 0.0), cv)
+                em = (_gmm_em_1d_host
+                      if jax.default_backend() == 'cpu' else _gmm_em_1d)
+                resp0, loglik = em(jnp.where(cv, cl, 0.0), cv)
                 fgs = resp0 & cv
                 # keep the fg run up to its max-likelihood sample
                 # (separation scheme (c), reference :366)

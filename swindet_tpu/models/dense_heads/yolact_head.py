@@ -279,7 +279,11 @@ class YOLACTSegmHead(nn.Module):
                               (b, gt_masks.shape[1], h, w), 'bilinear')
         gm = (gm > 0.5).astype(jnp.float32)
         gm = gm * gt_valid[..., None, None]
-        onehot = jax.nn.one_hot(gt_labels, c) * gt_valid[..., None]
+        # the reference writes segm_targets[label - 1] (yolact_head.py
+        # :570 — a 1-based-label relic kept in mmdet), so label 0 wraps
+        # to the LAST channel; replicated for checkpoint parity
+        onehot = jax.nn.one_hot((gt_labels - 1) % c, c) \
+            * gt_valid[..., None]
         target = jnp.einsum('bghw,bgc->bhwc', gm, onehot)
         target = (target > 0).astype(jnp.float32)
         loss = self._loss_segm(

@@ -419,7 +419,8 @@ def compare_grad_trees(jax_grads, torch_grads_tree, missing,
 
 def grad_parity(model_cfg, img_hw=(64, 96), b=2, g=3, num_classes=4,
                 with_mask=False, with_semantic=False, seed=3,
-                input_seed=0, rel_tol=1e-4, atol=1e-8, total_tol=1e-4):
+                input_seed=0, rel_tol=1e-4, atol=1e-8, total_tol=1e-4,
+                gts=None):
     """End-to-end gradient parity: jax.grad(total forward_train loss)
     vs torch autograd through the reference model on identical weights
     and inputs (VERDICT r3 ask #2). Torch grads are mapped onto the
@@ -433,9 +434,14 @@ def grad_parity(model_cfg, img_hw=(64, 96), b=2, g=3, num_classes=4,
                                         seed=seed)
     imgs = np.stack([make_image(h, w, seed=input_seed + i)
                      for i in range(b)])
-    gt_bboxes, gt_valid, gt_labels, masks = make_gts(
-        b, g, h, w, num_classes=num_classes, seed=input_seed,
-        with_mask=with_mask)
+    if gts is not None:
+        # caller-supplied (gt_bboxes, gt_valid, gt_labels, masks) — for
+        # families whose discrete selections need tie-free geometry
+        gt_bboxes, gt_valid, gt_labels, masks = gts
+    else:
+        gt_bboxes, gt_valid, gt_labels, masks = make_gts(
+            b, g, h, w, num_classes=num_classes, seed=input_seed,
+            with_mask=with_mask)
     semantic = (make_semantic(b, h, w, seed=input_seed)
                 if with_semantic else None)
     r_total, r_grads = ref_param_grads(ref, imgs, gt_bboxes, gt_valid,

@@ -38,6 +38,11 @@ def tiny_paa_cfg(score_voting=True):
             type='PAAHead', num_classes=NUM_CLASSES, in_channels=32,
             stacked_convs=1, feat_channels=32,
             score_voting=score_voting,
+            # the shipped PAA recipe trains on decoded boxes
+            # (reference configs/paa/paa_r50_fpn_1x_coco.py:26); without
+            # it the reference's iou_target compares decoded preds
+            # against ENCODED targets -> iou 0 -> avg_factor 0 -> inf
+            reg_decoded_bbox=True,
             norm_cfg=dict(type='GN', num_groups=4, requires_grad=True),
             anchor_generator=dict(
                 type='AnchorGenerator', ratios=[1.0],
