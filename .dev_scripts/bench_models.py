@@ -97,7 +97,27 @@ def converted_variables(cfg, model, variables):
     return out, True
 
 
-def bench_one(name, cfg, use_converted=True):
+# Published reference FLOPs (BASELINE.md rows; GFLOPs at the COCO test
+# scale) anchor the A100-equivalent throughput for each breadth row:
+# a100_equiv = 15.3 img/s (flagship A100 anchor) x 267G / model_GF.
+# Models without a published number are anchored by the XLA-measured
+# flop ratio against the flagship compiled in the same run.
+PUBLISHED_GF = {'maskrcnn_swin_t': 267.0, 'cascade_swin_b': 982.0}
+A100_FLAGSHIP_IPS = 15.3
+FLAGSHIP_GF = 267.0
+
+
+def _xla_gflops(compiled):
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get('flops', 0.0)) / 1e9
+    except Exception:
+        return 0.0
+
+
+def bench_one(name, cfg, use_converted=True, iters=None):
     import jax
     import jax.numpy as jnp
     from swindet_tpu.models import build_detector
@@ -105,7 +125,9 @@ def bench_one(name, cfg, use_converted=True):
 
     on_tpu = jax.devices()[0].platform == 'tpu'
     h, w = (800, 1344) if on_tpu else (224, 320)
-    iters, warmup = (100, 10) if on_tpu else (3, 1)
+    if iters is None:
+        iters = 100 if on_tpu else 3
+    warmup = 10 if on_tpu else 1
     cfg = dict(cfg)
     cfg['dtype'] = jnp.bfloat16 if on_tpu else jnp.float32
     model = build_detector(cfg)
@@ -125,10 +147,13 @@ def bench_one(name, cfg, use_converted=True):
     img_shapes = jnp.asarray([[h, w]], jnp.int32)
     scale_factors = jnp.ones((1, 4), jnp.float32)
 
-    @jax.jit
-    def run(variables, img, img_shapes, scale_factors):
+    def run_fn(variables, img, img_shapes, scale_factors):
         return model.apply(variables, img, img_shapes, scale_factors,
                            method='simple_test')
+
+    compiled = jax.jit(run_fn).lower(
+        variables, img, img_shapes, scale_factors).compile()
+    run = compiled
 
     def sync(o):
         return float(jnp.sum(o['dets']))
@@ -143,16 +168,36 @@ def bench_one(name, cfg, use_converted=True):
         out = run(variables, img, img_shapes, scale_factors)
     sync(out)
     dt = time.perf_counter() - t0
-    print(json.dumps(dict(model=name, img_s=round(iters / dt, 3),
-                          converted_weights=converted,
-                          canvas=f'{h}x{w}')))
+    row = dict(model=name, img_s=round(iters / dt, 3),
+               converted_weights=converted, canvas=f'{h}x{w}',
+               xla_gflops=round(_xla_gflops(compiled), 1))
+    return row
+
+
+def finalize_rows(rows):
+    """Attach FLOPs-anchored A100-equivalent baselines + vs_baseline
+    (VERDICT r4 ask #8: make breadth rows pass/fail numbers)."""
+    flag = next((r for r in rows if r['model'] in PUBLISHED_GF
+                 and r['model'] == 'maskrcnn_swin_t'), None)
+    for r in rows:
+        gf = PUBLISHED_GF.get(r['model'])
+        if gf is None and flag is not None and flag['xla_gflops'] > 0 \
+                and r['xla_gflops'] > 0:
+            # anchor by measured flop ratio vs the flagship in this run
+            gf = FLAGSHIP_GF * r['xla_gflops'] / flag['xla_gflops']
+        if gf:
+            a100 = A100_FLAGSHIP_IPS * FLAGSHIP_GF / gf
+            r['a100_equiv_img_s'] = round(a100, 2)
+            r['vs_baseline'] = round(r['img_s'] / a100, 3)
+    return rows
 
 
 def main():
     cfgs = model_cfgs()
     wanted = sys.argv[1:] or list(cfgs)
-    for name in wanted:
-        bench_one(name, cfgs[name])
+    rows = [bench_one(name, cfgs[name]) for name in wanted]
+    for row in finalize_rows(rows):
+        print(json.dumps(row))
 
 
 if __name__ == '__main__':

@@ -69,10 +69,12 @@ def main():
     img_shapes = jnp.asarray([[h, w]] * batch, jnp.int32)
     scale_factors = jnp.ones((batch, 4), jnp.float32)
 
-    @jax.jit
-    def run(variables, img, img_shapes, scale_factors):
+    def run_fn(variables, img, img_shapes, scale_factors):
         return model.apply(variables, img, img_shapes, scale_factors,
                            method='simple_test')
+
+    run = jax.jit(run_fn).lower(variables, img, img_shapes,
+                                scale_factors).compile()
 
     def sync(o):
         # On tunneled platforms block_until_ready returns before device
@@ -101,12 +103,37 @@ def main():
     except Exception:
         pass
 
-    print(json.dumps({
+    record = {
         'metric': 'maskrcnn_swin_t_inference_throughput',
         'value': round(ips, 3),
         'unit': 'img/s',
         'vs_baseline': round(ips / baseline, 3),
-    }))
+    }
+
+    # Breadth rows (VERDICT r4 ask #8): FLOPs-anchored pass/fail numbers
+    # for Cascade Swin-B + RepPoints, attached to the same artifact.
+    # Failures here must never cost the headline → best-effort.
+    if on_tpu and os.environ.get('SWINDET_BENCH_BREADTH', '1') != '0':
+        try:
+            import sys
+            sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                            '.dev_scripts'))
+            import bench_models
+            cfgs = bench_models.model_cfgs()
+            rows = [dict(model='maskrcnn_swin_t', img_s=round(ips, 3),
+                         converted_weights=False, canvas=f'{h}x{w}',
+                         xla_gflops=bench_models._xla_gflops(run))]
+            for name in ('cascade_swin_b', 'reppoints_swin_t'):
+                rows.append(bench_models.bench_one(
+                    name, cfgs[name], use_converted=False, iters=40))
+            record['breadth'] = [
+                {k: r[k] for k in ('model', 'img_s', 'a100_equiv_img_s',
+                                   'vs_baseline') if k in r}
+                for r in bench_models.finalize_rows(rows)]
+        except Exception as e:
+            record['breadth_error'] = str(e)[:200]
+
+    print(json.dumps(record))
 
 
 if __name__ == '__main__':

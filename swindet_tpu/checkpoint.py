@@ -45,7 +45,7 @@ _INDEXED = re.compile(
     r'^(layers|blocks|lateral_convs|fpn_convs|shared_convs|shared_fcs|'
     r'convs|cls_convs|reg_convs|cls_fcs|reg_fcs|bbox_head|mask_head|'
     r'reppoints_cls_convs|reppoints_pts_convs|head_convs|'
-    r'convs_bridge|convs_pred)(\d+)$')
+    r'convs_bridge|convs_pred|fcs)(\d+)$')
 
 
 def flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
@@ -318,6 +318,50 @@ def _translate_dpool_keys(sd: Dict[str, np.ndarray]
     return out
 
 
+def _translate_grid_head_keys(sd: Dict[str, np.ndarray]
+                              ) -> Dict[str, np.ndarray]:
+    """Grid R-CNN GridHead (reference: mask_heads/grid_head.py):
+    - forder_trans.{i}.{j}.{0|1}.*  (Sequential dw5x5 + pw1x1)
+        → fo_dw_{i}_{j}.* / fo_pw_{i}_{j}.*  (same for sorder_trans)
+    - deconv1 / deconv2 GROUPED ConvTranspose2d (groups=grid_points)
+        → per-point deconv{n}_{i} slices (torch grouped weight is
+          (in_total, out_per_group, kh, kw) with group g owning input
+          rows [g·in_g, (g+1)·in_g))."""
+    if not any('grid_head.forder_trans' in k for k in sd):
+        return sd
+    out = {}
+    # grid_points from deconv2's bias (out_per_group=1 → len == G)
+    g_pts = None
+    for k, v in sd.items():
+        if k.endswith('grid_head.deconv2.bias'):
+            g_pts = int(v.shape[0])
+    for k, v in sd.items():
+        m = re.match(r'^(.*grid_head\.)(forder_trans|sorder_trans)\.'
+                     r'(\d+)\.(\d+)\.([01])\.(weight|bias)$', k)
+        if m:
+            pre, kind, i, j, idx, leaf = m.groups()
+            tag = 'fo' if kind == 'forder_trans' else 'so'
+            sub = 'dw' if idx == '0' else 'pw'
+            out[f'{pre}{tag}_{sub}_{i}_{j}.{leaf}'] = v
+            continue
+        m = re.match(r'^(.*grid_head\.)deconv([12])\.(weight|bias)$', k)
+        if m and g_pts:
+            pre, n, leaf = m.groups()
+            if leaf == 'weight':
+                in_g = v.shape[0] // g_pts
+                for i in range(g_pts):
+                    out[f'{pre}deconv{n}_{i}.weight'] = \
+                        v[i * in_g:(i + 1) * in_g]
+            else:
+                out_g = v.shape[0] // g_pts
+                for i in range(g_pts):
+                    out[f'{pre}deconv{n}_{i}.bias'] = \
+                        v[i * out_g:(i + 1) * out_g]
+            continue
+        out[k] = v
+    return out
+
+
 def convert_torch_state_dict(
         state_dict: Dict[str, Any],
         params: Dict,
@@ -355,6 +399,7 @@ def convert_torch_state_dict(
     sd = _translate_sparse_rcnn_keys(sd)
     sd = _translate_hourglass_keys(sd)
     sd = _translate_dpool_keys(sd)
+    sd = _translate_grid_head_keys(sd)
 
     # per-level torch Scale modules (fcos/atss/gfl/vfnet heads:
     # `scales.{i}.scale` scalar each) → our single (L,) 'scales' vector
@@ -407,6 +452,14 @@ def convert_torch_state_dict(
                       f'{m.group(3)}'
                 if alt in sd:
                     tkey = alt
+            # MaskPointHead wraps each fc in a Conv1d ConvModule
+            # (mask_point_head.py:63): fcs.N.weight → fcs.N.conv.weight
+            m = re.match(r'^(.*point_head\.fcs\.\d+)\.(weight|bias)$',
+                         tkey)
+            if m:
+                alt = f'{m.group(1)}.conv.{m.group(2)}'
+                if alt in sd:
+                    tkey = alt
         if tkey not in sd:
             missing.append(tkey)
             new_flat[path] = leaf
@@ -445,6 +498,11 @@ def convert_torch_state_dict(
                 # tap-major row order (ops/deform_conv.py:105)
                 o, i_, kh, kw = src.shape
                 src = src.transpose(2, 3, 1, 0).reshape(kh * kw, i_, o)
+            elif name == 'kernel' and src.ndim == 3 \
+                    and src.shape[-1] == 1 and len(tgt_shape) == 2:
+                # pointwise Conv1d used as an fc (MaskPointHead fcs /
+                # fc_logits, mask_point_head.py): (out, in, 1) → (in, out)
+                src = src[:, :, 0].T
             elif name == 'kernel' and src.ndim == 2:
                 hint = flatten_hints.get('/'.join(path[:-1]))
                 if hint is not None and src.shape[1] == np.prod(hint):
@@ -550,6 +608,20 @@ def default_flatten_hints(model_cfg: dict) -> Dict[str, Tuple[int, int, int]]:
              else h.get('in_channels', 256))
         name = f'_bbox_head{i}' if multi else '_bbox_head'
         hints[f'_roi_head/{name}/shared_fcs0'] = (s, s, c)
+    # CoarseMaskHead (PointRend): first fc flattens the downsampled
+    # (s/d, s/d, conv_out) roi grid CHW-first in torch
+    mh = roi.get('mask_head')
+    if isinstance(mh, dict) and mh.get('type') == 'CoarseMaskHead':
+        s = mh.get('roi_feat_size', 14) // mh.get('downsample_factor', 2)
+        c = mh.get('conv_out_channels', 256)
+        hints['_roi_head/_mask_head/fcs0'] = (s, s, c)
+    # MaskIoUHead (Mask Scoring): stride-2 last conv halves the grid
+    # before the CHW-first flatten into fcs.0 (maskiou_head.py:84)
+    ih = roi.get('mask_iou_head')
+    if isinstance(ih, dict):
+        s = ih.get('roi_feat_size', 14) // 2
+        c = ih.get('conv_out_channels', 256)
+        hints['_roi_head/_mask_iou_head/fcs0'] = (s, s, c)
     return hints
 
 

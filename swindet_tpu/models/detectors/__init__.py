@@ -1,4 +1,4 @@
-from .two_stage import (CascadeRCNN, FastRCNN, FasterRCNN, TridentFasterRCNN, GridRCNN, SCNet, HybridTaskCascade, MaskRCNN, MaskScoringRCNN,
+from .two_stage import (CascadeRCNN, FastRCNN, FasterRCNN, TridentFasterRCNN, GridRCNN, PointRend, SCNet, HybridTaskCascade, MaskRCNN, MaskScoringRCNN,
                         TwoStageDetector)
 from .single_stage import (ATSS, FCOS, FOVEA, FSAF, GFL, NASFCOS, PAA,
                            KnowledgeDistillationSingleStageDetector, CentripetalNet, CornerNet, RepPointsDetector, RetinaNet, VFNet, YOLOV3,
@@ -11,5 +11,5 @@ from .sparse_rcnn import SparseRCNN
 __all__ = ['CascadeRCNN', 'FastRCNN', 'FasterRCNN', 'HybridTaskCascade', 'MaskRCNN', 'MaskScoringRCNN', 'TwoStageDetector',
            'ATSS', 'FCOS', 'FSAF', 'GFL', 'RepPointsDetector', 'RetinaNet',
            'SingleStageDetector', 'VFNet', 'YOLOV3', 'DETR', 'SparseRCNN',
-           'RPN', 'CornerNet', 'CentripetalNet', 'FOVEA', 'GridRCNN', 'SCNet',
+           'RPN', 'CornerNet', 'CentripetalNet', 'FOVEA', 'GridRCNN', 'PointRend', 'SCNet',
            'KnowledgeDistillationSingleStageDetector', 'PAA', 'YOLACT', 'NASFCOS', 'TridentFasterRCNN']

@@ -194,6 +194,12 @@ class GridRCNN(TwoStageDetector):
 
 
 @DETECTORS.register_module()
+class PointRend(TwoStageDetector):
+    """(reference: detectors/point_rend.py:6) — plain two-stage wrapper
+    around PointRendRoIHead."""
+
+
+@DETECTORS.register_module()
 class SCNet(CascadeRCNN):
     """(reference: detectors/scnet.py:6)."""
 

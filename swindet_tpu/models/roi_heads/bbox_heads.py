@@ -121,7 +121,11 @@ class ConvFCBBoxHead(nn.Module):
              loss_bbox_kwargs=None) -> Dict[str, jnp.ndarray]:
         """(reference: bbox_head.py:219). All args flattened (B*num, ...)."""
         losses = {}
-        avg = jnp.maximum(jnp.sum(label_weights), 1.0)
+        # reference bbox_head.py:232: avg_factor = COUNT of nonzero
+        # label weights, not their sum — identical for 0/1 weights but
+        # not under ISR/HLR reweighting (caught by the PISA grad oracle)
+        avg = jnp.maximum(
+            jnp.sum((label_weights > 0).astype(jnp.float32)), 1.0)
         if cls_score is not None:
             losses['loss_cls'] = self._loss_cls(
                 cls_score, labels, weight=label_weights, avg_factor=avg,

@@ -40,6 +40,9 @@ class FusedSemanticHead(nn.Module):
     loss_weight: float = 0.2
     conv_cfg: Optional[dict] = None
     norm_cfg: Optional[dict] = None
+    # SCNetSemanticHead (scnet_semantic_head.py): swap the conv tower
+    # for num_convs//2 SimplifiedBasicBlocks packed as 'convs'
+    conv_to_res: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -52,17 +55,26 @@ class FusedSemanticHead(nn.Module):
         for i, feat in enumerate(feats[:self.num_ins]):
             if i == self.fusion_level:
                 continue
-            f = jax.image.resize(
-                feat, (feat.shape[0], h, w, feat.shape[-1]),
-                method='bilinear')
+            # reference fuses with align_corners=True bilinear
+            # (fused_semantic_head.py:92) — NOT half-pixel
+            from ...ops.interpolate import torch_bilinear_resize
+            f = torch_bilinear_resize(feat, (h, w), align_corners=True)
             x = x + ConvModule(self.in_channels, 1, dtype=self.dtype,
                                act_cfg=dict(type='ReLU'),
                                name=f'lateral_convs{i}')(f, train=train)
-        for i in range(self.num_convs):
-            x = ConvModule(self.conv_out_channels, 3, padding=1,
-                           norm_cfg=self.norm_cfg,
-                           act_cfg=dict(type='ReLU'), dtype=self.dtype,
-                           name=f'convs{i}')(x, train=train)
+        if self.conv_to_res:
+            from .scnet import SimplifiedBasicBlock
+            for i in range(self.num_convs // 2):
+                x = SimplifiedBasicBlock(
+                    self.conv_out_channels, dtype=self.dtype,
+                    name=f'convs{i}')(x, train=train)
+        else:
+            for i in range(self.num_convs):
+                x = ConvModule(self.conv_out_channels, 3, padding=1,
+                               norm_cfg=self.norm_cfg,
+                               act_cfg=dict(type='ReLU'),
+                               dtype=self.dtype,
+                               name=f'convs{i}')(x, train=train)
         mask_pred = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                             name='conv_logits')(x)
         embedding = ConvModule(self.conv_out_channels, 1,

@@ -36,16 +36,20 @@ class FCNMaskHead(nn.Module):
     loss_mask: Optional[dict] = None
     dtype: Any = jnp.float32
 
-    def setup(self):
-        self._loss_mask = build_loss(dict(
-            self.loss_mask or dict(type='CrossEntropyLoss', use_mask=True,
-                                   loss_weight=1.0)))
-        self.convs = [
+    def _build_convs(self):
+        """Conv tower — SCNetMaskHead swaps this for a res tower."""
+        return [
             ConvModule(self.conv_out_channels, self.conv_kernel_size,
                        padding=self.conv_kernel_size // 2,
                        norm_cfg=self.norm_cfg, act_cfg=dict(type='ReLU'),
                        dtype=self.dtype, name=f'convs{i}')
             for i in range(self.num_convs)]
+
+    def setup(self):
+        self._loss_mask = build_loss(dict(
+            self.loss_mask or dict(type='CrossEntropyLoss', use_mask=True,
+                                   loss_weight=1.0)))
+        self.convs = self._build_convs()
         up = self.upsample_cfg or dict(type='deconv', scale_factor=2)
         self.upsample_type = up.get('type', 'deconv')
         if self.upsample_type == 'deconv':

@@ -73,10 +73,14 @@ class MaskIoUHead(nn.Module):
         full = m.sum((1, 2))                            # (G,)
 
         def one(box, gi):
+            # BitmapMasks.crop (structures.py:309): int-truncated box,
+            # EXCLUSIVE x2/y2, width/height floored at 1
             x1 = jnp.clip(box[0].astype(jnp.int32), 0, ww)
             y1 = jnp.clip(box[1].astype(jnp.int32), 0, hh)
-            x2 = jnp.clip(box[2].astype(jnp.int32) + 1, 0, ww)
-            y2 = jnp.clip(box[3].astype(jnp.int32) + 1, 0, hh)
+            x2 = jnp.clip(jnp.maximum(box[2].astype(jnp.int32), x1 + 1),
+                          0, ww)
+            y2 = jnp.clip(jnp.maximum(box[3].astype(jnp.int32), y1 + 1),
+                          0, hh)
             s = sat[gi]
             inside = s[y2, x2] - s[y1, x2] - s[y2, x1] + s[y1, x1]
             return inside / (full[gi] + 1e-7)
@@ -87,7 +91,9 @@ class MaskIoUHead(nn.Module):
                     mask_thr_binary: float = 0.5):
         """(reference :101): IoU of binarized prediction vs the full gt
         instance (gt full area recovered via the area ratio)."""
-        pred_bin = (jax.nn.sigmoid(mask_pred.astype(jnp.float32))
+        # the reference binarizes the RAW LOGITS at mask_thr_binary
+        # (maskiou_head.py:137 — no sigmoid; 0.5 on logits ~ p>0.62)
+        pred_bin = (mask_pred.astype(jnp.float32)
                     > mask_thr_binary).astype(jnp.float32)
         pred_area = pred_bin.sum((-1, -2))
         overlap = (pred_bin * mask_targets).sum((-1, -2))

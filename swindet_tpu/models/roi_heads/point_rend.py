@@ -73,7 +73,10 @@ class CoarseMaskHead(nn.Module):
             x = nn.relu(fc(x))
         x = self.fc_logits(x)
         c = 1 if self.class_agnostic else self.num_classes
-        return x.reshape(r, self.out_size, self.out_size, c)
+        # torch unflattens CHANNEL-FIRST (coarse_mask_head.py:91
+        # view(r, C, s, s)) — converted fc weights carry that order
+        return x.reshape(r, c, self.out_size,
+                         self.out_size).transpose(0, 2, 3, 1)
 
     # reuse FCNMaskHead's separable target crop + BCE loss/probs
     get_targets = staticmethod(FCNMaskHead.get_targets)
@@ -242,10 +245,13 @@ class PointRendRoIHead(StandardRoIHead):
                 / gm.shape[2]
             ay = (y1[:, None] + rp[..., 1:2] * bh[:, None]) \
                 / gm.shape[1]
-            pts = jnp.concatenate([ax[..., 0], ay[..., 0]], -1) \
-                .reshape(masks.shape[0], -1, 2)
-            return (point_sample(masks, pts)[..., 0] > 0.5) \
-                .astype(jnp.float32)
+            # pair (x_i, y_i) per point — concat along the point axis
+            # would interleave x with x (caught by the grad oracle)
+            pts = jnp.stack([ax[..., 0], ay[..., 0]], -1)
+            # the reference keeps the CONTINUOUS bilinear sample as the
+            # BCE target (mask_point_head.py _get_target_single
+            # point_sample without thresholding)
+            return point_sample(masks, pts)[..., 0]
 
         pt_targets = jax.vmap(tgt_single)(gt_masks, pos_boxes,
                                           pos_inds, rel)

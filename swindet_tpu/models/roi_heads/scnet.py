@@ -28,28 +28,30 @@ from .mask_heads import FCNMaskHead
 
 
 class SimplifiedBasicBlock(nn.Module):
-    """BasicBlock without the final relu-after-add (reference:
-    models/utils/res_layer.py SimplifiedBasicBlock)."""
+    """BasicBlock with NO relu after the residual add (reference:
+    models/utils/res_layer.py:105 — conv1 → relu → conv2 → + identity;
+    raw convs with bias when norm is absent, so torch keys are
+    'conv1.weight'/'conv2.weight')."""
     planes: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        out = ConvModule(self.planes, 3, padding=1,
-                         norm_cfg=None, act_cfg=dict(type='ReLU'),
-                         dtype=self.dtype, name='conv1')(x, train)
-        out = ConvModule(self.planes, 3, padding=1, norm_cfg=None,
-                         act_cfg=None, dtype=self.dtype,
-                         name='conv2')(out, train)
+        out = nn.Conv(self.planes, (3, 3), padding=1,
+                      dtype=self.dtype, name='conv1')(x)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), padding=1,
+                      dtype=self.dtype, name='conv2')(out)
         if identity.shape[-1] != self.planes:
-            identity = ConvModule(self.planes, 1, norm_cfg=None,
-                                  act_cfg=None, dtype=self.dtype,
-                                  name='downsample')(identity, train)
-        return nn.relu(out + identity)
+            identity = nn.Conv(self.planes, (1, 1), use_bias=False,
+                               dtype=self.dtype,
+                               name='downsample')(identity)
+        return out + identity
 
 
-def _res_tower(n_blocks, planes, dtype, name_prefix):
+def _res_tower(n_blocks, planes, dtype, name_prefix='convs'):
+    # the reference packs the blocks in a ResLayer named 'convs'
     return [SimplifiedBasicBlock(planes, dtype=dtype,
                                  name=f'{name_prefix}{i}')
             for i in range(n_blocks)]
@@ -79,33 +81,23 @@ class SCNetBBoxHead(ConvFCBBoxHead):
 
 @HEADS.register_module()
 class SCNetMaskHead(FCNMaskHead):
-    """FCNMaskHead with optional conv→res tower
-    (reference: scnet_mask_head.py)."""
+    """FCNMaskHead whose conv tower becomes num_convs//2
+    SimplifiedBasicBlocks (reference: scnet_mask_head.py — the torch
+    ResLayer keeps the 'convs' name, so checkpoint keys line up)."""
     conv_to_res: bool = True
 
-    def setup(self):
-        super().setup()
-        if self.conv_to_res:
-            self.res_blocks = _res_tower(self.num_convs // 2,
-                                         self.conv_out_channels,
-                                         self.dtype, 'res')
-
-    def __call__(self, x, train: bool = False):
-        if self.conv_to_res:
-            for blk in self.res_blocks:
-                x = blk(x, train=train)
-            if self.upsample_type == 'deconv':
-                x = nn.relu(self.upsample(x))
-            return self.conv_logits(x)
-        return super().__call__(x, train=train)
+    def _build_convs(self):
+        if not self.conv_to_res:
+            return super()._build_convs()
+        return _res_tower(self.num_convs // 2, self.conv_out_channels,
+                          self.dtype)
 
 
 @HEADS.register_module()
 class SCNetSemanticHead(FusedSemanticHead):
-    """FusedSemanticHead with conv→res tower option
-    (reference: scnet_semantic_head.py). The tower swap happens inside
-    FusedSemanticHead's compact call, so here it is an alias kept for
-    config parity (conv_to_res ignored: plain convs)."""
+    """FusedSemanticHead with the conv→res tower
+    (reference: scnet_semantic_head.py — num_convs//2
+    SimplifiedBasicBlocks when conv_to_res)."""
     conv_to_res: bool = True
 
 
@@ -126,8 +118,7 @@ class GlobalContextHead(nn.Module):
     def setup(self):
         if self.conv_to_res:
             self.tower = _res_tower(self.num_convs // 2,
-                                    self.conv_out_channels, self.dtype,
-                                    'res')
+                                    self.conv_out_channels, self.dtype)
         else:
             self.tower = [
                 ConvModule(self.conv_out_channels, 3, padding=1,
@@ -173,9 +164,15 @@ class FeatureRelayHead(nn.Module):
         s = self.roi_feat_size
         c = self.out_conv_channels
         x = nn.Dense(s * s * c, dtype=self.dtype, name='fc')(x)
-        x = x.reshape(n, s, s, c)
+        # the torch fc output unflattens CHANNEL-FIRST
+        # (feature_relay_head.py:52 reshape(N, C, s, s)) — transpose to
+        # NHWC after, or converted fc weights scramble the map
+        x = x.reshape(n, c, s, s).transpose(0, 2, 3, 1)
         t = s * self.scale_factor
-        return jax.image.resize(x, (n, t, t, c), 'bilinear')
+        # reference upsamples with align_corners=True
+        # (feature_relay_head.py:38)
+        from ...ops.interpolate import torch_bilinear_resize
+        return torch_bilinear_resize(x, (t, t), align_corners=True)
 
 
 @HEADS.register_module()
@@ -193,15 +190,21 @@ class SCNetRoIHead(CascadeRoIHead):
             self._semantic_head = build_head(
                 dict(self.semantic_head, dtype=self.dtype))
         if self.feat_relay_head is not None:
-            self._feat_relay = build_head(
+            self._feat_relay_head = build_head(
                 dict(self.feat_relay_head, dtype=self.dtype))
         if self.glbctx_head is not None:
-            self._glbctx = build_head(
+            self._glbctx_head = build_head(
                 dict(self.glbctx_head, dtype=self.dtype))
-        # SCNet has ONE mask head run once after the cascade; the
-        # cascade base built per-stage copies — use stage 0's module
+        # SCNet has ONE mask head run once after the cascade — torch
+        # names it 'mask_head' (unindexed). The cascade base's
+        # per-stage copies are never called, so they materialize no
+        # params; build the real one with the torch-parity name.
         if self.mask_head is not None:
-            self._mask_head = self._mask_heads[0]
+            mh = self.mask_head
+            if isinstance(mh, (list, tuple)):
+                mh = mh[0]
+            self._mask_head = build_head(
+                dict(mh, dtype=self.dtype, name='_mask_head'))
 
     @property
     def with_semantic(self):
@@ -240,7 +243,7 @@ class SCNetRoIHead(CascadeRoIHead):
             sem_pred, sem_feat = self._semantic_head(feats)
             outs += (sem_pred,)
         if self.with_glbctx:
-            mc, glb_feat = self._glbctx(feats)
+            mc, glb_feat = self._glbctx_head(feats)
             outs += (mc,)
         shared = None
         for head in self._bbox_heads:
@@ -252,7 +255,7 @@ class SCNetRoIHead(CascadeRoIHead):
             mf = self._fuse(self._mask_extractor(feats, rois), rois,
                             sem_feat, glb_feat)
             if self.with_feat_relay:
-                mf = mf + self._feat_relay(shared)
+                mf = mf + self._feat_relay_head(shared)
             outs += (self._mask_head(mf),)
         return outs
 
@@ -270,8 +273,8 @@ class SCNetRoIHead(CascadeRoIHead):
                 losses['loss_semantic_seg'] = self._semantic_head.loss(
                     sem_pred, gt_semantic_seg)
         if self.with_glbctx:
-            mc_pred, glb_feat = self._glbctx(feats, train=True)
-            losses['loss_glbctx'] = self._glbctx.loss(
+            mc_pred, glb_feat = self._glbctx_head(feats, train=True)
+            losses['loss_glbctx'] = self._glbctx_head.loss(
                 mc_pred, gt_labels, gt_valid)
 
         cur_props, cur_valid = proposals, proposal_valid
@@ -346,7 +349,7 @@ class SCNetRoIHead(CascadeRoIHead):
                 # positives are the first m sampler slots per image
                 sh = shared.reshape(b, num, -1)[:, :m].reshape(
                     b * m, -1)
-                mf = mf + self._feat_relay(sh)
+                mf = mf + self._feat_relay_head(sh)
             mask_pred = self._mask_head(mf, train=True)
             mask_size = self._stage_cfgs[-1].get('mask_size', 28)
             targets = jax.vmap(
@@ -368,7 +371,7 @@ class SCNetRoIHead(CascadeRoIHead):
         if self.with_semantic:
             _, sem_feat = self._semantic_head(feats)
         if self.with_glbctx:
-            _, glb_feat = self._glbctx(feats)
+            _, glb_feat = self._glbctx_head(feats)
         b, p = proposals.shape[:2]
         batch_col = jnp.repeat(np.arange(b, dtype=np.float32), p)
         rois = jnp.concatenate(
@@ -422,7 +425,7 @@ class SCNetRoIHead(CascadeRoIHead):
                                 mask_rois, sem_feat, glb_feat)
                 _, _, det_shared = self._bbox_heads[-1](
                     bf, return_shared_feat=True)
-                mf = mf + self._feat_relay(det_shared)
+                mf = mf + self._feat_relay_head(det_shared)
             mask_pred = self._mask_head(mf)
             probs = self._mask_head.get_mask_probs(
                 mask_pred, nms_res.labels.reshape(-1))

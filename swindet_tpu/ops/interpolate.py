@@ -59,3 +59,44 @@ def torch_bicubic_resize(x, out_hw, align_corners: bool = False):
                          x.astype(np.float32))
     return jnp.einsum('oh,pw,...hwc->...opc', jnp.asarray(wh),
                       jnp.asarray(ww), x.astype(jnp.float32))
+
+
+def bilinear_weights(in_size: int, out_size: int,
+                     align_corners: bool = False) -> np.ndarray:
+    """(out_size, in_size) matrix matching torch F.interpolate
+    'bilinear'. align_corners=True maps output i to input
+    i*(in-1)/(out-1) (corner-aligned — the HTC/SCNet semantic fusion
+    and feature-relay upsample, fused_semantic_head.py:92,
+    feature_relay_head.py:38); False is half-pixel like
+    jax.image.resize."""
+    if in_size == out_size:
+        return np.eye(in_size, dtype=np.float32)
+    if align_corners and out_size > 1:
+        centers = (np.arange(out_size) * (in_size - 1)
+                   / max(out_size - 1, 1))
+    else:
+        scale = in_size / out_size
+        centers = np.clip((np.arange(out_size) + 0.5) * scale - 0.5,
+                          0, None)
+    ifloor = np.floor(centers).astype(np.int64)
+    frac = centers - ifloor
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    i0 = np.clip(ifloor, 0, in_size - 1)
+    i1 = np.clip(ifloor + 1, 0, in_size - 1)
+    np.add.at(mat, (np.arange(out_size), i0), 1.0 - frac)
+    np.add.at(mat, (np.arange(out_size), i1), frac)
+    return mat.astype(np.float32)
+
+
+def torch_bilinear_resize(x, out_hw, align_corners: bool = False):
+    """Resize (..., H, W, C) to (..., out_h, out_w, C) with torch
+    F.interpolate bilinear semantics (separable weight matmuls —
+    MXU-shaped, constant-folded under jit)."""
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = out_hw
+    wh = bilinear_weights(h, oh, align_corners)
+    ww = bilinear_weights(w, ow, align_corners)
+    dt = x.dtype
+    return jnp.einsum('oh,pw,...hwc->...opc', jnp.asarray(wh),
+                      jnp.asarray(ww),
+                      x.astype(jnp.float32)).astype(dt)

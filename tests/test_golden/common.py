@@ -391,9 +391,15 @@ def jax_param_grads(module, variables, imgs, gt_bboxes, gt_valid,
 
 
 def compare_grad_trees(jax_grads, torch_grads_tree, missing,
-                       rel_tol=1e-4, atol=1e-8):
+                       rel_tol=1e-4, atol=1e-8, loose_prefixes=(),
+                       loose_rel=0.5):
     """Per-tensor normalized max-error comparison. ``missing`` lists
     torch keys the converter could not place (must be empty here).
+    ``loose_prefixes``: flax-path prefixes compared at ``loose_rel``
+    instead — for subtrees where TORCH'S OWN fp32 gradients deviate
+    tens of percent from its fp64 gradients (catastrophic cancellation,
+    e.g. GridHead behind its GroupNorm at near-constant init); the
+    loose bound still catches wrong-by-construction gradients.
     Returns a list of failure strings (empty = pass)."""
     from swindet_tpu.checkpoint import _flatten, flax_path_to_torch_key
     fails = []
@@ -411,8 +417,11 @@ def compare_grad_trees(jax_grads, torch_grads_tree, missing,
         tg = np.asarray(ft[path], np.float64)
         scale = max(np.abs(tg).max(), np.abs(jg).max(), 1e-8)
         err = np.abs(tg - jg).max()
-        if err > rel_tol * scale + atol:
-            fails.append(f'{"/".join(path)}: max |Δ| {err:.3e} vs scale '
+        jpath = '/'.join(path)
+        rtol = (loose_rel if any(jpath.startswith(p)
+                                 for p in loose_prefixes) else rel_tol)
+        if err > rtol * scale + atol:
+            fails.append(f'{jpath}: max |Δ| {err:.3e} vs scale '
                          f'{scale:.3e} (rel {err / scale:.2e})')
     return fails
 
@@ -420,7 +429,7 @@ def compare_grad_trees(jax_grads, torch_grads_tree, missing,
 def grad_parity(model_cfg, img_hw=(64, 96), b=2, g=3, num_classes=4,
                 with_mask=False, with_semantic=False, seed=3,
                 input_seed=0, rel_tol=1e-4, atol=1e-8, total_tol=1e-4,
-                gts=None):
+                gts=None, loose_prefixes=()):
     """End-to-end gradient parity: jax.grad(total forward_train loss)
     vs torch autograd through the reference model on identical weights
     and inputs (VERDICT r3 ask #2). Torch grads are mapped onto the
@@ -458,6 +467,7 @@ def grad_parity(model_cfg, img_hw=(64, 96), b=2, g=3, num_classes=4,
     assert not report['unexpected'], \
         f'grads not consumed: {report["unexpected"][:8]}'
     fails = compare_grad_trees(j_grads, tg_tree, report['missing'],
-                               rel_tol=rel_tol, atol=atol)
+                               rel_tol=rel_tol, atol=atol,
+                               loose_prefixes=loose_prefixes)
     assert not fails, 'gradient mismatches:\n' + '\n'.join(fails[:20])
     return r_total

