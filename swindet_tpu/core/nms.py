@@ -27,9 +27,10 @@ import os as _os
 
 # Score-order tile width. Larger tiles mean fewer sequential tile steps
 # (each a while_loop iteration with real dispatch latency) but a larger
-# (T, T) self-IoU fixpoint; 128 vs 256 is A/B'd on hardware with
-# .dev_scripts/bench_nms.py.
-TILE = int(_os.environ.get('SWINDET_NMS_TILE', 128))
+# (T, T) self-IoU fixpoint. A/B on the v5e (.dev_scripts/bench_nms.py
+# + bench.py): 512 beats 128 by ~29% on large-N single-class NMS and
+# +0.23 img/s end-to-end; keep sets are exact at any tile width.
+TILE = int(_os.environ.get('SWINDET_NMS_TILE', 512))
 
 
 class NMSResult(NamedTuple):
