@@ -212,6 +212,15 @@ def collate_detection(samples: List[dict],
         cw = _round_up(max(s['img'].shape[1] for s in samples), divisor)
     else:
         ch, cw = canvas
+        # AutoAugment's crop branch can flip a sample's orientation
+        # (a tall crop from a landscape image resized keep-ratio), so
+        # the aspect-group canvas may not fit. Fall back to the square
+        # max(ch, cw) canvas for that batch — one extra static shape,
+        # only compiled when such a batch actually occurs.
+        mh = max(s['img'].shape[0] for s in samples)
+        mw = max(s['img'].shape[1] for s in samples)
+        if mh > ch or mw > cw:
+            ch = cw = max(ch, cw)
     img = np.zeros((b, ch, cw, 3), np.float32)
     img_shapes = np.zeros((b, 2), np.int32)
     pad_shapes = np.zeros((b, 2), np.int32)
@@ -496,8 +505,10 @@ class DetDataLoader:
             br = branches[rng.randint(len(branches))] \
                 if len(branches) > 1 else branches[0]
             if br['kind'] == 'resize':
-                recipes.append(dict(kind='resize',
-                                    scale=pick_scale(br)))
+                scale = pick_scale(br)
+                ow_, oh_ = rescale_size((w0, h0), scale)
+                recipes.append(dict(kind='resize', scale=scale,
+                                    out_hw=(oh_, ow_)))
                 continue
             s1 = pick_scale(br['resize1'])
             nw1, nh1 = rescale_size((w0, h0), s1)
@@ -509,10 +520,18 @@ class DetDataLoader:
                 cw_ = rng.randint(min(cs[0], nw1), min(cs[1], nw1) + 1)
             off_h = rng.randint(0, max(nh1 - ch_, 0) + 1)
             off_w = rng.randint(0, max(nw1 - cw_, 0) + 1)
+            s2 = pick_scale(br['resize2'])
+            nw2, nh2 = rescale_size((cw_, ch_), s2)
             recipes.append(dict(kind='rcr', nh1=nh1, nw1=nw1,
                                 crop=(off_h, off_w, ch_, cw_),
-                                s2=pick_scale(br['resize2'])))
+                                s2=s2, out_hw=(nh2, nw2)))
         flips = rng.rand(n) < plan.flip_ratio
+        # orientation flips (tall crop from a landscape image) may not
+        # fit the aspect-group canvas — square fallback, same rule as
+        # collate_detection
+        if any(r['out_hw'][0] > ch or r['out_hw'][1] > cw
+               for r in recipes):
+            ch = cw = max(ch, cw)
         paths = [osp.join(ds.img_prefix,
                           ds.data_infos[i]['file_name'])
                  for i in indices]
