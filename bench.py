@@ -94,6 +94,14 @@ def main():
     dt = time.perf_counter() - t0
     ips = batch * iters / dt
 
+    if os.environ.get('TRACE_DIR'):
+        import sys
+        with jax.profiler.trace(os.environ['TRACE_DIR']):
+            for _ in range(5):
+                out = run(variables, img, img_shapes, scale_factors)
+            sync(out)
+        print('trace ->', os.environ['TRACE_DIR'], file=sys.stderr)
+
     baseline = 15.3  # A100 fp16 Mask R-CNN Swin-T img/s (mmdet-class)
     try:
         with open(os.path.join(os.path.dirname(__file__),

@@ -45,7 +45,13 @@ SMALL_W = 40     # them at 14-28 cells; 3x fewer DMA bytes)
 # ext_y caps at ~102 (an 800px-tall box routes to stride-8 level 1),
 # so 112 rows suffice; ext_x caps at ~170 except level-0 slivers.
 PASSES = (
-    (SMALL_H, SMALL_W),    # 32 x 40: most rois (14-28 cells)
+    (24, 32),              # 24 x 32: small rois (ext <= 22x23 — the
+                           # finest_scale routing puts most rois at
+                           # 14-28 cells, so roughly half land here at
+                           # 40% of the 32x40 pass's DMA bytes; the
+                           # r5 inference trace put the 1000-roi bbox
+                           # align at 2.1 ms = the largest single op)
+    (SMALL_H, SMALL_W),    # 32 x 40: most remaining rois
     (STRIP, STRIP_W),      # 64 x 56: large near-square
     (24, 184),             # wide: ext_y <= 22,  ext_x <= 175
     (112, 24),             # tall: ext_y <= 110, ext_x <= 15
